@@ -1,0 +1,170 @@
+"""Temporal reprojection, accumulation and variance estimation (SVGF).
+
+Realizes the reference's declared-but-absent temporal pipeline ("Temporal
+accumulation to reduce flickering", reference README.md:8; the per-frame
+dataset layout ``render/<scene>/<frame>/`` and the stream-aware
+``CudaGBuffer::openImages`` hook at gbuffer.h:32 are its only traces).
+
+Pipeline per frame (Schied et al. 2017):
+
+1. **Reproject**: bilinear-gather history (color, moments, length) at
+   ``p + motion`` with per-tap validity (in-bounds + depth + normal
+   consistency vs the previous frame's G-buffer).
+2. **Accumulate**: EMA blend with ``alpha = max(alpha_min, 1/(N+1))``;
+   optional neighborhood clamp of history color against the current frame
+   (anti-ghosting).
+3. **Moments/variance**: accumulate (E[l], E[l^2]) temporally; fall back to a
+   spatial 7x7 moment estimate while history is short
+   (``variance_boost_frames``).
+
+Everything is pure jnp (gather-based), hence differentiable: the bilinear
+gather's adjoint is the scatter-add XLA generates (SURVEY.md §7 hard part (b)).
+
+Motion convention: ``motion[:, p] = (dy, dx)`` such that the matching pixel in
+the *previous* frame is ``p + motion[:, p]`` (i.e. motion points backwards).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SVGFParams
+from ..gbuffer import GBuffer, History, luminance
+from .common import shift2d, valid_mask
+
+
+def bilinear_gather(plane: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Bilinearly sample ``plane`` (..., H, W) at float coords (H, W) grids.
+
+    Out-of-range taps clamp (validity handled separately by the caller).
+    """
+    H, W = plane.shape[-2], plane.shape[-1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+
+    flat = plane.reshape(plane.shape[:-2] + (H * W,))
+
+    def at(yi, xi):
+        return jnp.take(flat, yi * W + xi, axis=-1)
+
+    top = at(y0i, x0i) * (1 - fx) + at(y0i, x1i) * fx
+    bot = at(y1i, x0i) * (1 - fx) + at(y1i, x1i) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _neighborhood_minmax(color: jax.Array, radius: int = 1):
+    """Per-pixel min/max of color over a (2r+1)^2 window (for history clamp)."""
+    cmin = color
+    cmax = color
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            s = shift2d(color, dy, dx)
+            m = valid_mask(color.shape[-2], color.shape[-1], dy, dx, color.dtype)
+            big = jnp.where(m > 0, s, jnp.inf)
+            small = jnp.where(m > 0, s, -jnp.inf)
+            cmin = jnp.minimum(cmin, big)
+            cmax = jnp.maximum(cmax, small)
+    return cmin, cmax
+
+
+def spatial_moments(lum: jax.Array, radius: int = 3) -> Tuple[jax.Array, jax.Array]:
+    """Spatial (E[l], E[l^2]) over a (2r+1)^2 window, border-renormalized."""
+    H, W = lum.shape
+    m1 = jnp.zeros_like(lum)
+    m2 = jnp.zeros_like(lum)
+    cnt = jnp.zeros_like(lum)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            m = valid_mask(H, W, dy, dx, lum.dtype)
+            l = shift2d(lum, dy, dx)
+            m1 = m1 + m * l
+            m2 = m2 + m * l * l
+            cnt = cnt + m
+    return m1 / cnt, m2 / cnt
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def temporal_accumulate(
+    gbuf: GBuffer,
+    history: History,
+    *,
+    params: SVGFParams = SVGFParams(),
+) -> Tuple[jax.Array, jax.Array, History]:
+    """One temporal step.
+
+    Returns ``(integrated_color, variance, new_history)``; ``new_history`` has
+    the integrated color/moments but still needs its ``color`` replaced by the
+    à-trous feedback level output (see models/svgf.py).
+    """
+    H, W = gbuf.shape
+    color = gbuf.render
+    motion = gbuf.motion if gbuf.motion is not None else jnp.zeros((2, H, W), color.dtype)
+
+    iy = jnp.arange(H, dtype=color.dtype)[:, None] * jnp.ones((1, W), color.dtype)
+    ix = jnp.ones((H, 1), color.dtype) * jnp.arange(W, dtype=color.dtype)[None, :]
+    ys = iy + motion[0]
+    xs = ix + motion[1]
+
+    in_bounds = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+
+    prev_color = bilinear_gather(history.color, ys, xs)
+    prev_moments = bilinear_gather(history.moments, ys, xs)
+    prev_len = bilinear_gather(history.length, ys, xs)
+    prev_depth = bilinear_gather(history.prev_depth, ys, xs)
+    prev_normal = bilinear_gather(history.prev_normal, ys, xs)
+
+    # geometric consistency: relative depth + normal agreement
+    depth_ok = jnp.abs(prev_depth - gbuf.depth) <= 0.1 * jnp.maximum(
+        jnp.abs(gbuf.depth), 1e-3
+    )
+    ndot = jnp.sum(prev_normal * gbuf.normal, axis=0)
+    normal_ok = ndot > 0.8
+    valid = in_bounds & depth_ok & normal_ok & (prev_len > 0)
+
+    if params.history_clamp:
+        cmin, cmax = _neighborhood_minmax(color, radius=1)
+        prev_color = jnp.clip(prev_color, cmin, cmax)
+
+    n_prev = jnp.where(valid, prev_len, 0.0)
+    n_new = n_prev + 1.0
+    alpha = jnp.maximum(params.temporal_alpha, 1.0 / n_new)
+    alpha_m = jnp.maximum(params.temporal_moments_alpha, 1.0 / n_new)
+
+    integrated = jnp.where(
+        valid[None], (1 - alpha)[None] * prev_color + alpha[None] * color, color
+    )
+
+    lum = luminance(color)
+    cur_moments = jnp.stack([lum, lum * lum])
+    moments = jnp.where(
+        valid[None],
+        (1 - alpha_m)[None] * prev_moments + alpha_m[None] * cur_moments,
+        cur_moments,
+    )
+
+    var_temporal = jnp.maximum(moments[1] - moments[0] ** 2, 0.0)
+    sm1, sm2 = spatial_moments(lum)
+    var_spatial = jnp.maximum(sm2 - sm1 * sm1, 0.0)
+    use_spatial = n_new < params.variance_boost_frames
+    variance = jnp.where(use_spatial, var_spatial, var_temporal)
+
+    new_history = History(
+        color=integrated,
+        moments=moments,
+        length=n_new,
+        prev_depth=gbuf.depth,
+        prev_normal=gbuf.normal,
+    )
+    return integrated, variance, new_history

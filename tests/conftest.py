@@ -1,0 +1,43 @@
+"""Pytest config: run the suite hermetically on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests use ``--xla_force_host_platform_device_count=8``
+(SURVEY.md §4's implication row); the real-TPU benchmark path is exercised by
+``bench.py``, not the test suite.
+"""
+
+import os
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: the unrolled stencil graphs are compile-heavy;
+# cache across pytest processes so only the first-ever run pays.
+jax.config.update("jax_compilation_cache_dir", "/tmp/rdt_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+REFERENCE_ROOT = "/root/reference"
+CORNELL = os.path.join(REFERENCE_ROOT, "render")
+
+
+@pytest.fixture(scope="session")
+def cornell_frame():
+    """The checked-in Cornell G-buffer fixture (reference render/cornell/1/)."""
+    from raymarchdenoisercuda_tpu.io.dataset import load_frame
+
+    if not os.path.isdir(os.path.join(CORNELL, "cornell", "1")):
+        pytest.skip("Cornell dataset not available")
+    return load_frame(CORNELL, "cornell", 1)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

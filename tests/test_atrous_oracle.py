@@ -1,0 +1,116 @@
+"""Behavioral tests for the jnp à-trous SVGF oracle (ops/atrous.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchdenoisercuda_tpu.config import SVGFParams
+from raymarchdenoisercuda_tpu.ops.atrous import (
+    atrous_level_ref,
+    svgf_spatial_ref,
+    variance_blur3x3,
+    _spline_taps,
+)
+
+
+def _flat_scene(H=32, W=48, rng=None):
+    rng = rng or np.random.default_rng(0)
+    color = rng.random((3, H, W)).astype(np.float32)
+    variance = (0.01 * rng.random((H, W))).astype(np.float32)
+    normal = np.zeros((3, H, W), np.float32)
+    normal[2] = 1.0  # flat facing plane
+    depth = np.full((H, W), 0.5, np.float32)
+    return map(jnp.asarray, (color, variance, normal, depth))
+
+
+def test_spline_taps_sum_to_one():
+    for r in (0, 1, 2, 3):
+        taps = _spline_taps(r)
+        assert len(taps) == 2 * r + 1
+        assert abs(sum(taps) - 1.0) < 1e-12
+    assert _spline_taps(2) == (1 / 16, 1 / 4, 3 / 8, 1 / 4, 1 / 16)
+
+
+def test_constant_image_is_fixed_point():
+    color, variance, normal, depth = _flat_scene()
+    color = jnp.full_like(color, 0.3)
+    out_c, out_v = atrous_level_ref(color, variance, normal, depth, level=0)
+    np.testing.assert_allclose(np.asarray(out_c), 0.3, rtol=1e-5)
+    # variance shrinks under averaging: (sum w^2) / (sum w)^2 <= 1
+    assert np.all(np.asarray(out_v) <= np.asarray(variance).max() + 1e-6)
+
+
+def test_filter_reduces_noise_on_flat_region():
+    color, variance, normal, depth = _flat_scene()
+    out_c, _ = svgf_spatial_ref(color, variance, normal, depth, params=SVGFParams(iterations=3))
+    assert np.asarray(out_c).std() < np.asarray(color).std() * 0.5
+
+
+def test_edges_preserved_across_depth_discontinuity():
+    H = W = 32
+    rng = np.random.default_rng(1)
+    noise = 0.02 * rng.standard_normal((3, H, W)).astype(np.float32)
+    left = np.zeros((3, H, W), np.float32)
+    left[:, :, : W // 2] = 1.0
+    color = jnp.asarray(left + noise)
+    variance = jnp.full((H, W), 1e-4)
+    normal = jnp.asarray(np.broadcast_to(np.array([0, 0, 1.0], np.float32)[:, None, None], (3, H, W)))
+    depth = jnp.asarray(
+        np.where(np.arange(W)[None, :] < W // 2, 0.2, 0.9).astype(np.float32) * np.ones((H, W), np.float32)
+    )
+    out_c, _ = svgf_spatial_ref(color, variance, normal, depth, params=SVGFParams(iterations=4))
+    out = np.asarray(out_c)
+    # the two sides must stay far apart (edge not blurred across)
+    lhs = out[:, :, : W // 2 - 2].mean()
+    rhs = out[:, :, W // 2 + 2 :].mean()
+    assert lhs > 0.9 and rhs < 0.1
+
+
+def test_variance_blur_preserves_constant():
+    v = jnp.full((17, 23), 0.125)
+    out = variance_blur3x3(v)
+    np.testing.assert_allclose(np.asarray(out), 0.125, rtol=1e-6)
+
+
+def test_detached_gradient_flows_through_color():
+    color, variance, normal, depth = _flat_scene(16, 16)
+
+    def loss(c):
+        out, _ = atrous_level_ref(c, variance, normal, depth, level=0, detach_weights=True)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(color)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_full_autodiff_mode_differs_from_detached():
+    color, variance, normal, depth = _flat_scene(16, 16)
+
+    def loss(c, detach):
+        out, _ = atrous_level_ref(c, variance, normal, depth, level=0, detach_weights=detach)
+        return jnp.sum(out ** 2)
+
+    g_det = jax.grad(lambda c: loss(c, True))(color)
+    g_full = jax.grad(lambda c: loss(c, False))(color)
+    assert np.isfinite(np.asarray(g_full)).all()
+    # weight-gradient term must actually contribute
+    assert not np.allclose(np.asarray(g_det), np.asarray(g_full))
+
+
+def test_dilation_increases_footprint():
+    # an impulse spreads farther at higher levels
+    H = W = 33
+    color = np.zeros((3, H, W), np.float32)
+    color[:, H // 2, W // 2] = 1.0
+    variance = jnp.full((H, W), 1.0)  # high variance => weak luminance stopping
+    normal = jnp.asarray(np.broadcast_to(np.array([0, 0, 1.0], np.float32)[:, None, None], (3, H, W)))
+    depth = jnp.full((H, W), 0.5)
+    p = SVGFParams(sigma_color=1e6)
+    out0, _ = atrous_level_ref(jnp.asarray(color), variance, normal, depth, level=0, params=p)
+    out2, _ = atrous_level_ref(jnp.asarray(color), variance, normal, depth, level=2, params=p)
+    o0, o2 = np.asarray(out0)[0], np.asarray(out2)[0]
+    assert o0[H // 2, W // 2 + 2] > 0  # radius-2 tap at level 0
+    assert o0[H // 2, W // 2 + 8] == 0
+    assert o2[H // 2, W // 2 + 8] > 0  # dilated tap 2*4=8 at level 2
