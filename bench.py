@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Benchmark harness — north-star metric (BASELINE.json):
+
+    Mpixels/s/chip for SVGF forward+backward (5 à-trous iterations, 1080p).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference publishes no numbers (BASELINE.md: "published: {}"), so
+``vs_baseline`` compares against the first recorded round's result
+(BENCH_r*.json) when present, else 1.0.
+
+Extra configs (BASELINE.md table) via --config; --csv appends a timing dump
+(the TPU analogue of the reference's build/out.csv notebook feed,
+tile.ipynb cell 199).
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# cache compiled executables across bench invocations (remote TPU compiles of
+# the 10 level-kernels take minutes cold)
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RDT_JAX_CACHE", "/tmp/rdt_jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def _scene_inputs(H, W, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    color = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    variance = jnp.asarray((0.02 * rng.random((H, W))).astype(np.float32))
+    n = rng.standard_normal((3, H, W)).astype(np.float32)
+    n[2] += 3.0
+    n /= np.sqrt((n ** 2).sum(0, keepdims=True))
+    depth = jnp.asarray((0.3 + 0.5 * rng.random((H, W))).astype(np.float32))
+    return color, variance, jnp.asarray(n), depth
+
+
+def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
+    """North-star config: SVGF fwd+bwd at 1080p, 5 levels."""
+    import jax
+    import jax.numpy as jnp
+    from raymarchdenoisercuda_tpu.config import SVGFParams
+
+    params = SVGFParams(iterations=iterations)
+    color, variance, normal, depth = _scene_inputs(H, W)
+
+    if impl == "pallas":
+        from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas as spatial
+    else:
+        import functools
+        from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
+        spatial = functools.partial(svgf_spatial_ref, detach_weights=True)
+
+    @jax.jit
+    def fwd_bwd(c):
+        def loss(c):
+            oc, ov = spatial(c, variance, normal, depth, params=params)
+            return jnp.sum(oc ** 2) + jnp.sum(ov)
+        l, g = jax.value_and_grad(loss)(c)
+        return l, g
+
+    l, g = fwd_bwd(color)  # compile + warmup
+    g.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        l, g = fwd_bwd(color)
+    g.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    mpix_s = H * W / dt / 1e6
+    return mpix_s, dt
+
+
+def bench_svgf_fwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
+    import jax
+    import jax.numpy as jnp
+    from raymarchdenoisercuda_tpu.config import SVGFParams
+
+    params = SVGFParams(iterations=iterations)
+    color, variance, normal, depth = _scene_inputs(H, W)
+    if impl == "pallas":
+        from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas as spatial
+    else:
+        import functools
+        from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
+        spatial = functools.partial(svgf_spatial_ref, detach_weights=True)
+
+    import functools as ft
+
+    @jax.jit
+    def fwd(c):
+        return spatial(c, variance, normal, depth, params=params)
+
+    out = fwd(color)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fwd(color)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / repeats
+    return H * W / dt / 1e6, dt
+
+
+def bench_raymarch(H=1080, W=1920, repeats=5):
+    import jax
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.ops.raymarch import (
+        cornell_scene, cornell_camera, render_gbuffer)
+
+    cfg = CameraParams(width=W, height=H)
+    rm = RaymarchParams()
+    scene = cornell_scene()
+    cam = cornell_camera()
+    key = jax.random.PRNGKey(0)
+    g = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm)
+    jax.block_until_ready(g.render)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        g = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm)
+    jax.block_until_ready(g.render)
+    dt = (time.perf_counter() - t0) / repeats
+    return H * W / dt / 1e6, dt
+
+
+def _baseline_value():
+    """First recorded round's north-star value, if any."""
+    vals = []
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))):
+        try:
+            d = json.load(open(f))
+            if isinstance(d, dict) and "value" in d:
+                vals.append(float(d["value"]))
+        except Exception:
+            pass
+    return vals[0] if vals else None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="fwd_bwd_1080p",
+                    choices=["fwd_bwd_1080p", "fwd_1080p", "raymarch_1080p",
+                             "fwd_bwd_1080p_ref"])
+    ap.add_argument("--repeats", type=int, default=20)
+    ap.add_argument("--csv", default=None, help="append timings to CSV")
+    args = ap.parse_args()
+
+    if args.config == "fwd_bwd_1080p":
+        value, dt = bench_svgf_fwd_bwd(repeats=args.repeats)
+        metric = "SVGF fwd+bwd 5-iter 1080p (pallas)"
+    elif args.config == "fwd_1080p":
+        value, dt = bench_svgf_fwd(repeats=args.repeats)
+        metric = "SVGF fwd 5-iter 1080p (pallas)"
+    elif args.config == "fwd_bwd_1080p_ref":
+        value, dt = bench_svgf_fwd_bwd(repeats=args.repeats, impl="reference")
+        metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"
+    else:
+        value, dt = bench_raymarch(repeats=min(args.repeats, 5))
+        metric = "raymarch+gbuffer 1080p"
+
+    base = _baseline_value()
+    vs = value / base if base else 1.0
+    if args.csv:
+        with open(args.csv, "a") as f:
+            f.write(f"{metric}|{value:.3f}|{dt*1e3:.3f}\n")
+    print(json.dumps({
+        "metric": "Mpixels/s/chip " + metric,
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,422 @@
+"""Pallas TPU kernels for the edge-aware à-trous wavelet filter (SVGF).
+
+TPU-native redesign of the reference's CUDA stencil kernels
+(``src/filter.cu:60-158``): the CUDA block's cooperative shared-memory tile +
+halo load (``cacheTile``, filter.cu:66-84) becomes an async HBM->VMEM DMA of
+a halo-extended row band (``pltpu.make_async_copy``); ``__syncthreads()``
+barriers disappear (the sequential grid is the schedule); the unused
+``__constant__ waveletSpline`` (filter.cu:10) becomes compile-time folded
+B3-spline weights; and the edge-stopping math the reference only declared
+(sigma params, filter.cuh:16-19) is implemented in full.
+
+Why manual DMA: halo-overlapping windows can't be expressed with Blocked
+``BlockSpec``s (offsets are block-quantized), and ``pl.Element`` windows are
+staged whole-array on current Mosaic (VMEM OOM at 1080p).  So haloed inputs
+are declared ``memory_space=ANY`` (stay in HBM, zero-padded top/bottom by the
+wrapper) and each grid step copies rows ``[b*TH, b*TH + TH + 2*halo)`` into
+VMEM scratch — exactly the reference's tiled-kernel strategy, one level up
+the memory hierarchy.
+
+Layout: planar float32, rows on sublanes / width on lanes.  Horizontal taps
+stay inside the full-width band via lane rolls + validity masks — the TPU
+analogue of the reference's ``inRange`` guard (filter.cu:37-38).
+
+The backward pass (detached-weights adjoint) is its own Pallas kernel: the
+adjoint of ``out_p = sum_d w_p(d) c_{p+d} / N_p`` is
+``dc_x = sum_d w_{x-d}(d) / N_{x-d} * g_{x-d}`` — a stencil with transposed
+taps whose weights are *recomputed* at the shifted center (cheaper than
+storing 25 weight planes), plus the saved normalization ``N`` (SURVEY.md §7
+hard part (a)).  Semantics match ``ops/atrous.py`` with
+``detach_weights=True``; parity is tested in tests/test_atrous_pallas.py
+(interpret) and tests/test_tpu_hw.py (compiled on hardware).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import SVGFParams
+from ..atrous import _spline_taps, variance_blur3x3, _EPS
+from ..common import finite_diff_gradients
+
+# Rec.709 luma coefficients (must match gbuffer.luminance).
+_LUMA = (0.2126, 0.7152, 0.0722)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_tile_rows(H: int, W: int, halo_pad: int, n_haloed_planes: int,
+                    n_center_planes: int = 0, n_temp_planes: int = 0,
+                    vmem_budget: int = 85 * 2 ** 20) -> int:
+    """Choose TILE_H to fit v5e VMEM (128 MB): DMA-staged haloed scratch
+    (single-buffered), double-buffered center-blocked inputs/outputs, and the
+    kernel body's live temporaries (Mosaic schedules the statically-unrolled
+    tap loop with most per-tap intermediates concurrently live, measured at
+    ~3 plane-equivalents per tap — see tests/test_tpu_hw.py history)."""
+    row_bytes = W * 4
+    denom = (n_haloed_planes + 2 * n_center_planes + n_temp_planes) * row_bytes
+    fixed = n_haloed_planes * 2 * halo_pad * row_bytes
+    max_tile = (vmem_budget - fixed) // max(denom, 1)
+    tile = max(8, min((max_tile // 8) * 8, 512))
+    if H <= tile:
+        return _round_up(H, 8)
+    # avoid pathological padding waste: shrink so the last band isn't mostly pad
+    n_bands = -(-H // tile)
+    return max(8, (_round_up(-(-H // n_bands), 8)))
+
+
+def _rows(x: jax.Array, o: int, size: int) -> jax.Array:
+    """Static slice of ``size`` rows starting at offset ``o`` (axis -2)."""
+    idx = [slice(None)] * x.ndim
+    idx[-2] = slice(o, o + size)
+    return x[tuple(idx)]
+
+
+def _col_roll(x: jax.Array, ox: int) -> jax.Array:
+    """result[..., j] = x[..., j + ox] (wrap; callers mask wrapped lanes)."""
+    if ox == 0:
+        return x
+    return pltpu.roll(x, -ox % x.shape[-1], axis=x.ndim - 1)
+
+
+def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
+                       params: SVGFParams, mode: str, n_hbm: int):
+    """Build the fwd or bwd kernel body for one à-trous level.
+
+    Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad VMEM block,
+    then outputs, then ``n_hbm`` VMEM scratch tiles + one DMA semaphore array.
+    """
+    r = params.radius
+    taps1d = _spline_taps(r)
+    C = halo_pad  # row offset of the band's first center row inside the tile
+    BLK = TH + 2 * halo_pad
+
+    def kernel(*refs):
+        hbm = refs[:n_hbm]
+        if mode == "fwd":
+            zgrad_ref, cout_ref, vout_ref, nout_ref = refs[n_hbm:n_hbm + 4]
+            scratch = refs[n_hbm + 4:-1]
+        else:
+            dcol_ref, dvar_ref = refs[n_hbm:n_hbm + 2]
+            scratch = refs[n_hbm + 2:-1]
+        sems = refs[-1]
+
+        b = pl.program_id(0)
+        # Stage all haloed planes: rows [b*TH, b*TH+BLK) of the pre-padded
+        # HBM arrays (the reference's cacheTile, as async DMA).
+        row0 = pl.multiple_of(b * TH, 8)
+        for i, (src, dst) in enumerate(zip(hbm, scratch)):
+            if src.ndim == 3:
+                cp = pltpu.make_async_copy(
+                    src.at[:, pl.ds(row0, BLK), :], dst, sems.at[i])
+            else:
+                cp = pltpu.make_async_copy(
+                    src.at[pl.ds(row0, BLK), :], dst, sems.at[i])
+            cp.start()
+        for i, (src, dst) in enumerate(zip(hbm, scratch)):
+            if src.ndim == 3:
+                pltpu.make_async_copy(
+                    src.at[:, pl.ds(row0, BLK), :], dst, sems.at[i]).wait()
+            else:
+                pltpu.make_async_copy(
+                    src.at[pl.ds(row0, BLK), :], dst, sems.at[i]).wait()
+
+        gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+
+        if mode == "fwd":
+            color_t, normal_t, depth_t, sden_t, var_t = [s[:] for s in scratch]
+            zg = zgrad_ref[:]  # (2, TH, W) center rows
+        else:
+            (color_t, normal_t, depth_t, sden_t, zgrad_t, norm_t,
+             gc_t, gv_t) = [s[:] for s in scratch]
+
+        col_c = _rows(color_t, C, TH)                      # (3, TH, W)
+        lum_c = (_LUMA[0] * col_c[0] + _LUMA[1] * col_c[1]
+                 + _LUMA[2] * col_c[2])
+        n_c = _rows(normal_t, C, TH)
+        z_c = _rows(depth_t, C, TH)
+        sden_c = _rows(sden_t, C, TH)
+
+        acc_c = jnp.zeros((3, TH, W), jnp.float32)
+        acc_v = jnp.zeros((TH, W), jnp.float32)
+        den = jnp.zeros((TH, W), jnp.float32)
+
+        def shifted(x, oy, ox, mask):
+            """x shifted so result sits at center rows; masked to 0."""
+            t = _col_roll(_rows(x, C + oy, TH), ox)
+            m = mask if x.ndim == 2 else mask[None]
+            return jnp.where(m, t, 0.0)
+
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                oy, ox = dy * spacing, dx * spacing
+                h = taps1d[dy + r] * taps1d[dx + r]
+
+                if mode == "fwd":
+                    mask = ((gy + oy >= 0) & (gy + oy < H)
+                            & (gx + ox >= 0) & (gx + ox < W))
+                    fm = mask.astype(jnp.float32)
+
+                    c_q = shifted(color_t, oy, ox, mask)
+                    v_q = shifted(var_t, oy, ox, mask)
+                    n_q = shifted(normal_t, oy, ox, mask)
+                    z_q = shifted(depth_t, oy, ox, mask)
+                    l_q = (_LUMA[0] * c_q[0] + _LUMA[1] * c_q[1]
+                           + _LUMA[2] * c_q[2])
+
+                    dz_den = params.sigma_depth * jnp.abs(
+                        zg[0] * oy + zg[1] * ox) + _EPS
+                    wz = -jnp.abs(z_c - z_q) / dz_den
+                    wl = -jnp.abs(lum_c - l_q) / sden_c
+                    ndot = jnp.maximum(n_c[0] * n_q[0] + n_c[1] * n_q[1]
+                                       + n_c[2] * n_q[2], 0.0)
+                    wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
+                    w = h * fm * jnp.exp(wz + wl) * wn
+
+                    acc_c = acc_c + w[None] * c_q
+                    acc_v = acc_v + (w * w) * v_q
+                    den = den + w
+                else:
+                    # centers p = x - (oy, ox); p's tap (oy, ox) lands on x.
+                    mask = ((gy - oy >= 0) & (gy - oy < H)
+                            & (gx - ox >= 0) & (gx - ox < W)
+                            & (gy < H))
+                    fm = mask.astype(jnp.float32)
+
+                    c_p = shifted(color_t, -oy, -ox, mask)
+                    n_p = shifted(normal_t, -oy, -ox, mask)
+                    z_p = shifted(depth_t, -oy, -ox, mask)
+                    sden_p = shifted(sden_t, -oy, -ox, mask)
+                    zg_p = shifted(zgrad_t, -oy, -ox, mask)
+                    norm_p = jnp.where(
+                        mask, _col_roll(_rows(norm_t, C - oy, TH), -ox), 1.0)
+                    g_p = shifted(gc_t, -oy, -ox, mask)
+                    gv_p = shifted(gv_t, -oy, -ox, mask)
+                    l_p = (_LUMA[0] * c_p[0] + _LUMA[1] * c_p[1]
+                           + _LUMA[2] * c_p[2])
+
+                    dz_den = params.sigma_depth * jnp.abs(
+                        zg_p[0] * oy + zg_p[1] * ox) + _EPS
+                    wz = -jnp.abs(z_p - z_c) / dz_den
+                    wl = -jnp.abs(l_p - lum_c) / jnp.maximum(sden_p, _EPS)
+                    ndot = jnp.maximum(n_p[0] * n_c[0] + n_p[1] * n_c[1]
+                                       + n_p[2] * n_c[2], 0.0)
+                    wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
+                    w = h * fm * jnp.exp(wz + wl) * wn
+                    w_over_n = w / norm_p
+
+                    acc_c = acc_c + w_over_n[None] * g_p
+                    acc_v = acc_v + (w_over_n * w_over_n) * gv_p
+
+        if mode == "fwd":
+            den = jnp.maximum(den, _EPS)
+            cout_ref[:] = acc_c / den[None]
+            vout_ref[:] = acc_v / (den * den)
+            nout_ref[:] = den
+        else:
+            dcol_ref[:] = acc_c
+            dvar_ref[:] = acc_v
+
+    return kernel
+
+
+def _hbm_spec():
+    # inputs stay in HBM; the kernel DMAs its haloed window into VMEM scratch
+    return pl.BlockSpec(memory_space=pltpu.HBM)
+
+
+def _center_spec(n_planes, TH, W):
+    if n_planes is None:
+        return pl.BlockSpec((TH, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((n_planes, TH, W), lambda b: (0, b, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _scratch_tiles(plane_dims, BLK, W):
+    return [
+        pltpu.VMEM((BLK, W) if d is None else (d, BLK, W), jnp.float32)
+        for d in plane_dims
+    ]
+
+
+def _pad_rows(x: jax.Array, H_pad: int) -> jax.Array:
+    H = x.shape[-2]
+    if H == H_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, H_pad - H), (0, 0)]
+    return jnp.pad(x, pad)
+
+
+def _pad_rows_halo(x: jax.Array, H_pad: int, halo_pad: int) -> jax.Array:
+    """Zero-pad rows to (halo_pad + H_pad + halo_pad) for haloed DMA reads."""
+    H = x.shape[-2]
+    pad = [(0, 0)] * (x.ndim - 2) + [(halo_pad, H_pad - H + halo_pad), (0, 0)]
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("level", "params", "interpret"))
+def atrous_level_fwd_pallas(
+    color, variance, normal, depth, zgrad, sigma_denom,
+    *, level: int, params: SVGFParams, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One forward à-trous level on TPU. Returns (color', variance', norm)."""
+    H, W = depth.shape
+    spacing = 1 << level
+    halo_pad = _round_up(params.radius * spacing, 8)
+    # haloed scratch: 9 planes; double-buffered center blocks: zgrad(2)+outs(5)
+    n_taps = (2 * params.radius + 1) ** 2
+    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=9, n_center_planes=7,
+                         n_temp_planes=3 * n_taps)
+    H_pad = _round_up(H, TH)
+    grid = H_pad // TH
+    BLK = TH + 2 * halo_pad
+    plane_dims = (3, 3, None, None, None)  # color, normal, depth, sden, var
+
+    kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
+                                n_hbm=5)
+    cout, vout, nout = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[_hbm_spec()] * 5 + [_center_spec(2, TH, W)],
+        out_specs=(
+            _center_spec(3, TH, W),
+            _center_spec(None, TH, W),
+            _center_spec(None, TH, W),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, H_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
+        ),
+        scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
+        + [pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(
+        _pad_rows_halo(color, H_pad, halo_pad),
+        _pad_rows_halo(normal, H_pad, halo_pad),
+        _pad_rows_halo(depth, H_pad, halo_pad),
+        _pad_rows_halo(sigma_denom, H_pad, halo_pad),
+        _pad_rows_halo(variance, H_pad, halo_pad),
+        _pad_rows(zgrad, H_pad),
+    )
+    return cout[:, :H, :], vout[:H, :], nout[:H, :]
+
+
+@functools.partial(jax.jit, static_argnames=("level", "params", "interpret"))
+def atrous_level_bwd_pallas(
+    color, normal, depth, zgrad, sigma_denom, norm, g_color, g_var,
+    *, level: int, params: SVGFParams, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Adjoint (detached weights): returns (d_color, d_variance)."""
+    H, W = depth.shape
+    spacing = 1 << level
+    halo_pad = _round_up(params.radius * spacing, 8)
+    n_taps = (2 * params.radius + 1) ** 2
+    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=15, n_center_planes=4,
+                         n_temp_planes=4 * n_taps)
+    H_pad = _round_up(H, TH)
+    grid = H_pad // TH
+    BLK = TH + 2 * halo_pad
+    # color, normal, depth, sden, zgrad, norm, g_color, g_var
+    plane_dims = (3, 3, None, None, 2, None, 3, None)
+
+    kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "bwd",
+                                n_hbm=8)
+    dcol, dvar = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[_hbm_spec()] * 8,
+        out_specs=(
+            _center_spec(3, TH, W),
+            _center_spec(None, TH, W),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, H_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
+        ),
+        scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
+        + [pltpu.SemaphoreType.DMA((8,))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(
+        _pad_rows_halo(color, H_pad, halo_pad),
+        _pad_rows_halo(normal, H_pad, halo_pad),
+        _pad_rows_halo(depth, H_pad, halo_pad),
+        _pad_rows_halo(sigma_denom, H_pad, halo_pad),
+        _pad_rows_halo(zgrad, H_pad, halo_pad),
+        _pad_rows_halo(jnp.maximum(norm, _EPS), H_pad, halo_pad),
+        _pad_rows_halo(g_color, H_pad, halo_pad),
+        _pad_rows_halo(g_var, H_pad, halo_pad),
+    )
+    return dcol[:, :H, :], dvar[:H, :]
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper: the public differentiable op
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def atrous_level(color, variance, normal, depth, zgrad, sigma_denom,
+                 level: int, params: SVGFParams, interpret: bool = False):
+    c, v, _ = atrous_level_fwd_pallas(
+        color, variance, normal, depth, zgrad, sigma_denom,
+        level=level, params=params, interpret=interpret,
+    )
+    return c, v
+
+
+def _atrous_fwd(color, variance, normal, depth, zgrad, sigma_denom,
+                level, params, interpret):
+    c, v, n = atrous_level_fwd_pallas(
+        color, variance, normal, depth, zgrad, sigma_denom,
+        level=level, params=params, interpret=interpret,
+    )
+    return (c, v), (color, normal, depth, zgrad, sigma_denom, n)
+
+
+def _atrous_bwd(level, params, interpret, res, g):
+    color, normal, depth, zgrad, sigma_denom, n = res
+    gc, gv = g
+    dcol, dvar = atrous_level_bwd_pallas(
+        color, normal, depth, zgrad, sigma_denom, n, gc, gv,
+        level=level, params=params, interpret=interpret,
+    )
+    zero = jnp.zeros_like
+    return dcol, dvar, zero(normal), zero(depth), zero(zgrad), zero(sigma_denom)
+
+
+atrous_level.defvjp(_atrous_fwd, _atrous_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "return_feedback", "interpret"))
+def svgf_spatial_pallas(
+    color, variance, normal, depth,
+    *, params: SVGFParams = SVGFParams(), return_feedback: bool = False,
+    interpret: bool = False,
+):
+    """Full multi-level à-trous sweep on TPU (drop-in for ``svgf_spatial_ref``
+    with ``detach_weights=True``)."""
+    zgrad = finite_diff_gradients(depth)
+    c, v = color, variance
+    feedback = color
+    for lvl in range(params.iterations):
+        sigma_denom = params.sigma_color * jnp.sqrt(
+            jnp.maximum(variance_blur3x3(jax.lax.stop_gradient(v)), 0.0)
+        ) + _EPS
+        c, v = atrous_level(c, v, normal, depth, zgrad, sigma_denom,
+                            lvl, params, interpret)
+        if lvl + 1 == params.feedback_level:
+            feedback = c
+    if return_feedback:
+        return c, v, feedback
+    return c, v

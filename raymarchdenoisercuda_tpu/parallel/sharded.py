@@ -1,0 +1,445 @@
+"""Spatially sharded SVGF + raymarch pipeline (shard_map over a device mesh).
+
+BASELINE.md config 5: image tiles sharded over ('y', 'x') mesh axes with ICI
+halo exchange per à-trous level, end-to-end forward + backward.  Everything
+here runs *inside* ``jax.shard_map``; the public entry points wrap it.
+
+Correctness contract: identical results (up to fp reassociation) to the
+single-device oracle (ops/atrous.py) for any mesh shape, enforced by global
+coordinate masks — an out-of-tile tap that is inside a neighbor contributes
+via the exchanged halo, an out-of-image tap contributes zero weight exactly
+like the reference's ``inRange`` guard (src/filter.cu:37-38).
+
+Differentiable: ``ppermute``'s transpose is ``ppermute`` with the inverse
+permutation and the gather transposes to scatter-add, so ``jax.grad`` of a
+shard_mapped pipeline yields the correctly halo-exchanged adjoint for free;
+gradients of replicated leaves (materials) are psum'd by shard_map itself.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import CameraParams, RaymarchParams, SVGFParams
+from ..gbuffer import GBuffer, History, luminance
+from ..ops.atrous import _spline_taps, _EPS
+from .halo import exchange_halo2d, tile_origin
+
+REPL = P()
+PLANE = P("y", "x")
+PLANES = P(None, "y", "x")
+
+
+def _rows_cols(x, oy, ox, th, tw, h):
+    """Slice a (…, th, tw) window at center offset (oy, ox) from a tile
+    padded by h on both spatial axes (static offsets)."""
+    return x[..., h + oy:h + oy + th, h + ox:h + ox + tw]
+
+
+def _global_iota(ry, cx, th, tw):
+    gy = ry + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    gx = cx + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    return gy, gx
+
+
+def atrous_level_local(
+    color_p, var_p, normal_p, depth_p, sden_p,   # halo-padded tiles (pad h)
+    zgrad,                                        # (2, th, tw) center only
+    ry, cx, Hg, Wg,                               # tile origin + global shape
+    *, level: int, params: SVGFParams,
+) -> Tuple[jax.Array, jax.Array]:
+    """One à-trous level on a halo-padded local tile (oracle math, global
+    masks).  ``h = radius * 2^level`` padding is assumed on both axes."""
+    spacing = 1 << level
+    r = params.radius
+    h = r * spacing
+    taps1d = _spline_taps(r)
+    th, tw = zgrad.shape[-2:]
+    gy, gx = _global_iota(ry, cx, th, tw)
+
+    col_c = _rows_cols(color_p, 0, 0, th, tw, h)
+    lum_p_full = 0.2126 * color_p[0] + 0.7152 * color_p[1] + 0.0722 * color_p[2]
+    lum_c = _rows_cols(lum_p_full, 0, 0, th, tw, h)
+    n_c = _rows_cols(normal_p, 0, 0, th, tw, h)
+    z_c = _rows_cols(depth_p, 0, 0, th, tw, h)
+    sden_c = _rows_cols(sden_p, 0, 0, th, tw, h)
+
+    num_c = jnp.zeros_like(col_c)
+    num_v = jnp.zeros_like(z_c)
+    den = jnp.zeros_like(z_c)
+
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            oy, ox = dy * spacing, dx * spacing
+            hw = taps1d[dy + r] * taps1d[dx + r]
+            m = ((gy + oy >= 0) & (gy + oy < Hg)
+                 & (gx + ox >= 0) & (gx + ox < Wg)).astype(z_c.dtype)
+
+            z_q = _rows_cols(depth_p, oy, ox, th, tw, h)
+            n_q = _rows_cols(normal_p, oy, ox, th, tw, h)
+            l_q = _rows_cols(lum_p_full, oy, ox, th, tw, h)
+            c_q = _rows_cols(color_p, oy, ox, th, tw, h)
+            v_q = _rows_cols(var_p, oy, ox, th, tw, h)
+
+            dz_den = params.sigma_depth * jnp.abs(zgrad[0] * oy + zgrad[1] * ox) + _EPS
+            wz = -jnp.abs(z_c - z_q) / dz_den
+            wl = -jnp.abs(lum_c - l_q) / sden_c
+            ndot = jnp.maximum(jnp.sum(n_c * n_q, axis=0), 0.0)
+            wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
+            # detached weights: matches the oracle's detach_weights=True and
+            # the Pallas custom-VJP semantics (linear-combination adjoint)
+            w = lax.stop_gradient(hw * m * jnp.exp(wz + wl) * wn)
+
+            num_c = num_c + w[None] * c_q
+            num_v = num_v + (w * w) * v_q
+            den = den + w
+
+    den = jnp.maximum(den, _EPS)
+    return num_c / den[None], num_v / (den * den)
+
+
+def _variance_blur3x3_local(var, ry, cx, Hg, Wg):
+    """3x3 gaussian blur with halo exchange + global-border renormalization
+    (sharded analogue of ops.atrous.variance_blur3x3)."""
+    vp = exchange_halo2d(var, 1)
+    th, tw = var.shape
+    gy, gx = _global_iota(ry, cx, th, tw)
+    k1 = (0.25, 0.5, 0.25)
+    num = jnp.zeros_like(var)
+    dencnt = jnp.zeros_like(var)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            k = k1[dy + 1] * k1[dx + 1]
+            m = ((gy + dy >= 0) & (gy + dy < Hg)
+                 & (gx + dx >= 0) & (gx + dx < Wg)).astype(var.dtype)
+            num = num + k * m * _rows_cols(vp, dy, dx, th, tw, 1)
+            dencnt = dencnt + k * m
+    return num / dencnt
+
+
+def _zgrad_local(depth, ry, cx, Hg, Wg):
+    """Central-difference depth gradient with halo exchange + one-sided
+    borders (sharded analogue of ops.common.finite_diff_gradients)."""
+    dp = exchange_halo2d(depth, 1)
+    th, tw = depth.shape
+    gy, gx = _global_iota(ry, cx, th, tw)
+    up = _rows_cols(dp, -1, 0, th, tw, 1)
+    dn = _rows_cols(dp, 1, 0, th, tw, 1)
+    lf = _rows_cols(dp, 0, -1, th, tw, 1)
+    rt = _rows_cols(dp, 0, 1, th, tw, 1)
+    fwd_y, bwd_y = dn - depth, depth - up
+    fwd_x, bwd_x = rt - depth, depth - lf
+    dzdy = jnp.where(gy == 0, fwd_y,
+                     jnp.where(gy == Hg - 1, bwd_y, 0.5 * (fwd_y + bwd_y)))
+    dzdx = jnp.where(gx == 0, fwd_x,
+                     jnp.where(gx == Wg - 1, bwd_x, 0.5 * (fwd_x + bwd_x)))
+    return jnp.stack([dzdy, dzdx])
+
+
+def svgf_spatial_local(
+    color, variance, normal, depth,
+    Hg: int, Wg: int,
+    *, params: SVGFParams, return_feedback: bool = False,
+):
+    """Multi-level à-trous on local tiles (call inside shard_map)."""
+    th, tw = depth.shape
+    ry, cx = tile_origin((th, tw))
+    zgrad = _zgrad_local(depth, ry, cx, Hg, Wg)
+    c, v = color, variance
+    feedback = color
+    for lvl in range(params.iterations):
+        h = params.radius * (1 << lvl)
+        sden = params.sigma_color * jnp.sqrt(jnp.maximum(
+            _variance_blur3x3_local(lax.stop_gradient(v), ry, cx, Hg, Wg), 0.0
+        )) + _EPS
+        c, v = atrous_level_local(
+            exchange_halo2d(c, h), exchange_halo2d(v, h),
+            exchange_halo2d(normal, h), exchange_halo2d(depth, h),
+            exchange_halo2d(sden, h),
+            zgrad, ry, cx, Hg, Wg, level=lvl, params=params,
+        )
+        if lvl + 1 == params.feedback_level:
+            feedback = c
+    if return_feedback:
+        return c, v, feedback
+    return c, v
+
+
+# ---------------------------------------------------------------------------
+# temporal accumulation on tiles (bounded-motion reprojection)
+# ---------------------------------------------------------------------------
+
+def _bilinear_gather_padded(plane_p, ys, xs, mh):
+    """Bilinear sample a halo-padded (..., th+2mh, tw+2mh) tile at local
+    coords (ys, xs) relative to the unpadded tile (clamped to the padded
+    extent; validity handled by the caller)."""
+    Hp, Wp = plane_p.shape[-2], plane_p.shape[-1]
+    ys = ys + mh
+    xs = xs + mh
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy, fx = ys - y0, xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, Hp - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, Wp - 1)
+    y1i = jnp.clip(y0i + 1, 0, Hp - 1)
+    x1i = jnp.clip(x0i + 1, 0, Wp - 1)
+    flat = plane_p.reshape(plane_p.shape[:-2] + (Hp * Wp,))
+
+    def at(yi, xi):
+        return jnp.take(flat, yi * Wp + xi, axis=-1)
+
+    top = at(y0i, x0i) * (1 - fx) + at(y0i, x1i) * fx
+    bot = at(y1i, x0i) * (1 - fx) + at(y1i, x1i) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _neighborhood_minmax_local(color, ry, cx, Hg, Wg):
+    cp = exchange_halo2d(color, 1)
+    th, tw = color.shape[-2:]
+    gy, gx = _global_iota(ry, cx, th, tw)
+    cmin, cmax = color, color
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = ((gy + dy >= 0) & (gy + dy < Hg)
+                 & (gx + dx >= 0) & (gx + dx < Wg))
+            s = _rows_cols(cp, dy, dx, th, tw, 1)
+            cmin = jnp.minimum(cmin, jnp.where(m[None], s, jnp.inf))
+            cmax = jnp.maximum(cmax, jnp.where(m[None], s, -jnp.inf))
+    return cmin, cmax
+
+
+def _spatial_moments_local(lum, ry, cx, Hg, Wg, radius=3):
+    lp = exchange_halo2d(lum, radius)
+    th, tw = lum.shape
+    gy, gx = _global_iota(ry, cx, th, tw)
+    m1 = jnp.zeros_like(lum)
+    m2 = jnp.zeros_like(lum)
+    cnt = jnp.zeros_like(lum)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            m = ((gy + dy >= 0) & (gy + dy < Hg)
+                 & (gx + dx >= 0) & (gx + dx < Wg)).astype(lum.dtype)
+            l = _rows_cols(lp, dy, dx, th, tw, radius) * m
+            m1 = m1 + l
+            m2 = m2 + l * l
+            cnt = cnt + m
+    return m1 / cnt, m2 / cnt
+
+
+def temporal_accumulate_local(
+    gbuf: GBuffer, history: History, Hg: int, Wg: int,
+    *, params: SVGFParams, max_motion: int = 8,
+):
+    """Tile-local temporal step (mirror of ops.temporal.temporal_accumulate).
+
+    Reprojection reads history through an exchanged halo of ``max_motion``
+    pixels; motion beyond the halo is treated as a disocclusion (the history
+    is rejected), bounding ICI traffic per frame.
+    """
+    th, tw = gbuf.depth.shape
+    ry, cx = tile_origin((th, tw))
+    color = gbuf.render
+    motion = gbuf.motion if gbuf.motion is not None else jnp.zeros((2, th, tw), color.dtype)
+    mh = max_motion
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(color.dtype)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(color.dtype)
+    ys = iy + motion[0]   # local coords of the history sample
+    xs = ix + motion[1]
+    gys = ys + ry
+    gxs = xs + cx
+
+    in_bounds = ((gys >= 0) & (gys <= Hg - 1) & (gxs >= 0) & (gxs <= Wg - 1)
+                 & (jnp.abs(motion[0]) <= mh - 1) & (jnp.abs(motion[1]) <= mh - 1))
+
+    hc = exchange_halo2d(history.color, mh)
+    hm = exchange_halo2d(history.moments, mh)
+    hl = exchange_halo2d(history.length, mh)
+    hd = exchange_halo2d(history.prev_depth, mh)
+    hn = exchange_halo2d(history.prev_normal, mh)
+
+    prev_color = _bilinear_gather_padded(hc, ys, xs, mh)
+    prev_moments = _bilinear_gather_padded(hm, ys, xs, mh)
+    prev_len = _bilinear_gather_padded(hl, ys, xs, mh)
+    prev_depth = _bilinear_gather_padded(hd, ys, xs, mh)
+    prev_normal = _bilinear_gather_padded(hn, ys, xs, mh)
+
+    depth_ok = jnp.abs(prev_depth - gbuf.depth) <= 0.1 * jnp.maximum(
+        jnp.abs(gbuf.depth), 1e-3)
+    ndot = jnp.sum(prev_normal * gbuf.normal, axis=0)
+    valid = in_bounds & depth_ok & (ndot > 0.8) & (prev_len > 0)
+
+    if params.history_clamp:
+        cmin, cmax = _neighborhood_minmax_local(color, ry, cx, Hg, Wg)
+        prev_color = jnp.clip(prev_color, cmin, cmax)
+
+    n_prev = jnp.where(valid, prev_len, 0.0)
+    n_new = n_prev + 1.0
+    alpha = jnp.maximum(params.temporal_alpha, 1.0 / n_new)
+    alpha_m = jnp.maximum(params.temporal_moments_alpha, 1.0 / n_new)
+
+    integrated = jnp.where(
+        valid[None], (1 - alpha)[None] * prev_color + alpha[None] * color, color)
+
+    lum = luminance(color)
+    cur_moments = jnp.stack([lum, lum * lum])
+    moments = jnp.where(
+        valid[None],
+        (1 - alpha_m)[None] * prev_moments + alpha_m[None] * cur_moments,
+        cur_moments)
+
+    var_temporal = jnp.maximum(moments[1] - moments[0] ** 2, 0.0)
+    sm1, sm2 = _spatial_moments_local(lum, ry, cx, Hg, Wg)
+    var_spatial = jnp.maximum(sm2 - sm1 * sm1, 0.0)
+    variance = jnp.where(n_new < params.variance_boost_frames, var_spatial,
+                         var_temporal)
+
+    new_history = History(
+        color=integrated, moments=moments, length=n_new,
+        prev_depth=gbuf.depth, prev_normal=gbuf.normal)
+    return integrated, variance, new_history
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "params", "return_feedback"))
+def svgf_spatial_sharded(
+    color, variance, normal, depth,
+    *, mesh: Mesh, params: SVGFParams = SVGFParams(),
+    return_feedback: bool = False,
+):
+    """Sharded multi-level à-trous sweep over mesh axes ('y', 'x')."""
+    Hg, Wg = depth.shape
+
+    fn = functools.partial(svgf_spatial_local, Hg=Hg, Wg=Wg, params=params,
+                           return_feedback=return_feedback)
+    out_specs = (PLANES, PLANE, PLANES) if return_feedback else (PLANES, PLANE)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(PLANES, PLANE, PLANES, PLANE),
+        out_specs=out_specs,
+        check_vma=False,
+    )(color, variance, normal, depth)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline: render -> temporal -> spatial, sharded end to end
+# ---------------------------------------------------------------------------
+
+def pipeline_local(
+    scene, camera, prev_camera, history: History, key,
+    Hg: int, Wg: int,
+    *, cam_cfg: CameraParams, rm_params: RaymarchParams,
+    svgf_params: SVGFParams, spp: int = 1, demod: bool = True,
+):
+    """Per-device frame pipeline (call inside shard_map).
+
+    The raymarch is embarrassingly parallel (each device renders its own
+    pixel window); temporal + spatial use ICI halo exchange.
+    """
+    from ..ops.raymarch import render_gbuffer_window
+    from ..models.svgf import demodulate, remodulate
+
+    ny = lax.axis_size("y")
+    nx = lax.axis_size("x")
+    th, tw = Hg // ny, Wg // nx
+    ry, cx = tile_origin((th, tw))
+    dev = lax.axis_index("y") * nx + lax.axis_index("x")
+    key = jax.random.fold_in(key, dev)
+
+    gbuf = render_gbuffer_window(
+        scene, camera, prev_camera, key, ry, cx, th, tw,
+        cam_cfg=cam_cfg, params=rm_params, spp=spp,
+    )
+
+    work = gbuf.replace(render=demodulate(gbuf.render, gbuf.albedo)) if demod else gbuf
+    integrated, variance, new_history = temporal_accumulate_local(
+        work, history, Hg, Wg, params=svgf_params)
+    filtered, _v, feedback = svgf_spatial_local(
+        integrated, variance, gbuf.normal, gbuf.depth, Hg, Wg,
+        params=svgf_params, return_feedback=True)
+    new_history = new_history.replace(color=feedback)
+    denoised = remodulate(filtered, gbuf.albedo) if demod else filtered
+    return gbuf.replace(denoised=denoised), new_history
+
+
+def make_sharded_pipeline(
+    mesh: Mesh, Hg: int, Wg: int,
+    *, cam_cfg: CameraParams, rm_params: RaymarchParams,
+    svgf_params: SVGFParams, spp: int = 1,
+):
+    """Build a jitted sharded (render + denoise) frame function.
+
+    Scene/cameras/key are replicated; G-buffer planes and history are
+    sharded P('y','x') on their trailing two axes.
+    """
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=PLANES)
+    hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                         prev_depth=PLANE, prev_normal=PLANES)
+
+    fn = functools.partial(
+        pipeline_local, Hg=Hg, Wg=Wg, cam_cfg=cam_cfg,
+        rm_params=rm_params, svgf_params=svgf_params, spp=spp)
+
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(REPL, REPL, REPL, hist_specs, REPL),
+        out_specs=(gb_specs, hist_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_train_step(
+    mesh: Mesh, base_scene, camera, target, optimizer,
+    *, cam_cfg: CameraParams, rm_params: RaymarchParams,
+    svgf_params: SVGFParams,
+):
+    """Sharded version of models.pipeline.make_train_step: loss + grads of
+    the material table with the image pipeline sharded over ('y','x').
+
+    The albedo table is replicated; shard_map transposes the replicated->
+    sharded broadcast into a psum of per-device gradient contributions —
+    the gradient all-reduce over ICI (SURVEY.md §5 backend row).
+    """
+    hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                         prev_depth=PLANE, prev_normal=PLANES)
+
+    def local_loss(albedo, history, key, target_tile):
+        scene = base_scene.replace(
+            materials=base_scene.materials.replace(albedo=albedo))
+        out, new_hist = pipeline_local(
+            scene, camera, None, history, key,
+            target.shape[-2], target.shape[-1],
+            cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params)
+        # mean over the full image = psum of tile sums / global pixel count
+        sse = jnp.sum((out.denoised - target_tile) ** 2)
+        loss = lax.psum(lax.psum(sse, "y"), "x") / (3 * target.shape[-2] * target.shape[-1])
+        return loss, new_hist
+
+    sharded_loss = shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(REPL, hist_specs, REPL, PLANES),
+        out_specs=(REPL, hist_specs),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(albedo, opt_state, history, key):
+        key, sub = jax.random.split(key)
+        (loss, new_hist), grads = jax.value_and_grad(
+            sharded_loss, has_aux=True)(albedo, history, sub, target)
+        updates, opt_state = optimizer.update(grads, opt_state, albedo)
+        import optax
+        albedo = jnp.clip(optax.apply_updates(albedo, updates), 0.0, 1.0)
+        return albedo, opt_state, new_hist, key, loss
+
+    return train_step

@@ -7,15 +7,17 @@ Multi-chip sharding tests use ``--xla_force_host_platform_device_count=8``
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU tunnel backend and overrides
+# JAX_PLATFORMS; config.update after import (before backend init) wins.  The
+# hermetic suite runs on a local 8-device CPU backend (SURVEY.md §4 fake-mesh
+# testing); RDT_TEST_PLATFORM=tpu keeps the real chip for tests/test_tpu_hw.py.
+if os.environ.get("RDT_TEST_PLATFORM") != "tpu":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the unrolled stencil graphs are compile-heavy;
 # cache across pytest processes so only the first-ever run pays.

@@ -1,0 +1,114 @@
+"""Parity: Pallas à-trous kernels (interpret mode) vs the jnp oracle.
+
+Interpret mode checks kernel logic hermetically on CPU (SURVEY.md §5 "race
+detection" row: interpret-vs-compiled is our sanitizer); the compiled TPU
+path runs in bench.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchdenoisercuda_tpu.config import SVGFParams
+from raymarchdenoisercuda_tpu.gbuffer import luminance
+from raymarchdenoisercuda_tpu.ops.atrous import (
+    atrous_level_ref,
+    svgf_spatial_ref,
+    variance_blur3x3,
+    _EPS,
+)
+from raymarchdenoisercuda_tpu.ops.common import finite_diff_gradients
+from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import (
+    atrous_level_fwd_pallas,
+    svgf_spatial_pallas,
+    atrous_level,
+)
+
+P = SVGFParams()
+
+
+def _scene(rng, H=40, W=56):
+    color = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    variance = jnp.asarray((0.02 * rng.random((H, W))).astype(np.float32))
+    n = rng.standard_normal((3, H, W)).astype(np.float32)
+    n[2] += 3.0
+    n /= np.sqrt((n ** 2).sum(0, keepdims=True))
+    normal = jnp.asarray(n)
+    depth = jnp.asarray((0.3 + 0.5 * rng.random((H, W))).astype(np.float32))
+    return color, variance, normal, depth
+
+
+def _sigma_denom(variance):
+    return P.sigma_color * jnp.sqrt(
+        jnp.maximum(variance_blur3x3(variance), 0.0)
+    ) + _EPS
+
+
+@pytest.mark.parametrize("level", [0, 1, 2])
+def test_level_fwd_parity(rng, level):
+    color, variance, normal, depth = _scene(rng)
+    zgrad = finite_diff_gradients(depth)
+    want_c, want_v = atrous_level_ref(
+        color, variance, normal, depth, zgrad, level=level, params=P
+    )
+    got_c, got_v, norm = atrous_level_fwd_pallas(
+        color, variance, normal, depth, zgrad, _sigma_denom(variance),
+        level=level, params=P, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), rtol=2e-5, atol=2e-7)
+    assert np.all(np.asarray(norm) > 0)
+
+
+def test_multilevel_parity(rng):
+    color, variance, normal, depth = _scene(rng)
+    params = SVGFParams(iterations=3)
+    want_c, want_v = svgf_spatial_ref(
+        color, variance, normal, depth, params=params, detach_weights=True
+    )
+    got_c, got_v = svgf_spatial_pallas(
+        color, variance, normal, depth, params=params, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), rtol=5e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), rtol=5e-5, atol=1e-6)
+
+
+def test_vjp_parity_vs_oracle_autodiff(rng):
+    """Hand-written Pallas backward == jnp autodiff of the detached oracle."""
+    color, variance, normal, depth = _scene(rng, 24, 32)
+    zgrad = finite_diff_gradients(depth)
+    sden = _sigma_denom(variance)
+
+    def loss_oracle(c, v):
+        oc, ov = atrous_level_ref(c, v, normal, depth, zgrad, level=1,
+                                  params=P, detach_weights=True)
+        return jnp.sum(jnp.sin(oc)) + jnp.sum(ov * ov)
+
+    def loss_pallas(c, v):
+        oc, ov = atrous_level(c, v, normal, depth, zgrad, sden, 1, P, True)
+        return jnp.sum(jnp.sin(oc)) + jnp.sum(ov * ov)
+
+    gc_w, gv_w = jax.grad(loss_oracle, argnums=(0, 1))(color, variance)
+    gc_g, gv_g = jax.grad(loss_pallas, argnums=(0, 1))(color, variance)
+    np.testing.assert_allclose(np.asarray(gc_g), np.asarray(gc_w), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv_g), np.asarray(gv_w), rtol=1e-4, atol=1e-6)
+
+
+def test_vjp_multilevel_parity(rng):
+    color, variance, normal, depth = _scene(rng, 24, 32)
+    params = SVGFParams(iterations=2)
+
+    def loss_oracle(c):
+        oc, _ = svgf_spatial_ref(c, variance, normal, depth, params=params,
+                                 detach_weights=True)
+        return jnp.sum(oc ** 2)
+
+    def loss_pallas(c):
+        oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params,
+                                    interpret=True)
+        return jnp.sum(oc ** 2)
+
+    g_w = jax.grad(loss_oracle)(color)
+    g_g = jax.grad(loss_pallas)(color)
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w), rtol=2e-4, atol=1e-5)

@@ -1,0 +1,126 @@
+"""Raymarcher tests: geometry, G-buffer planes, noise statistics, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+from raymarchdenoisercuda_tpu.ops.raymarch import (
+    Scene,
+    Camera,
+    cornell_scene,
+    cornell_camera,
+    sdf_scene,
+    sdf_normal,
+    camera_rays,
+    raymarch,
+    render_gbuffer,
+)
+
+CFG = CameraParams(width=64, height=64)
+RM = RaymarchParams(max_steps=48, shadow_steps=24)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_scene()
+
+
+@pytest.fixture(scope="module")
+def frame(scene):
+    key = jax.random.PRNGKey(0)
+    return render_gbuffer(scene, cornell_camera(), None, key, cam_cfg=CFG, params=RM)
+
+
+def test_sdf_center_inside_box(scene):
+    # center of the box interior: nearest surface < 1 away, sign positive
+    p = jnp.zeros((3, 1, 1))
+    d, mat = sdf_scene(scene, p)
+    assert 0 < float(d[0, 0]) <= 1.0
+
+
+def test_sdf_normals_unit(scene, rng):
+    p = jnp.asarray(rng.uniform(-0.9, 0.9, (3, 8, 8)).astype(np.float32))
+    n = sdf_normal(scene, p)
+    lens = np.linalg.norm(np.asarray(n), axis=0)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-3)
+
+
+def test_camera_rays_normalized():
+    ro, rd, _ = camera_rays(cornell_camera(), CFG)
+    lens = np.linalg.norm(np.asarray(rd), axis=0)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-5)
+    assert ro.shape == (3, 64, 64)
+
+
+def test_primary_rays_hit_walls(scene):
+    ro, rd, _ = camera_rays(cornell_camera(), CFG)
+    t, hit = raymarch(scene, ro, rd, RM)
+    # closed box: everything hits except a handful of grazing edge rays that
+    # need more than RM.max_steps to converge
+    assert np.asarray(hit).mean() > 0.999
+    assert np.asarray(t).max() < 5.0
+
+
+def test_gbuffer_planes(frame):
+    g = frame
+    assert g.render.shape == (3, 64, 64)
+    for plane in (g.render, g.albedo, g.normal, g.motion):
+        assert np.isfinite(np.asarray(plane)).all()
+    assert (np.asarray(g.depth) > 0).mean() > 0.999  # closed box: ~all hit
+    # normals face the camera (dot with view dir <= 0 on hits)
+    ro, rd, _ = camera_rays(cornell_camera(), CFG)
+    ndotv = np.asarray(jnp.sum(g.normal * rd, axis=0))
+    assert (ndotv <= 1e-3).all()
+    # left wall red-ish, right wall green-ish
+    alb = np.asarray(g.albedo)
+    assert alb[0, 32, 2] > alb[1, 32, 2]   # left column: R > G
+    assert alb[1, 32, 61] > alb[0, 32, 61]  # right column: G > R
+
+
+def test_static_camera_zero_motion(scene):
+    key = jax.random.PRNGKey(1)
+    cam = cornell_camera()
+    g = render_gbuffer(scene, cam, cam, key, cam_cfg=CFG, params=RM)
+    m = np.asarray(g.motion)
+    hit_interior = np.abs(m) < 0.35  # bilinear/fp slack, plus normal-flip pixels
+    assert hit_interior.mean() > 0.97
+
+
+def test_render_noise_varies_with_key(scene):
+    g1 = render_gbuffer(scene, cornell_camera(), None, jax.random.PRNGKey(1),
+                        cam_cfg=CFG, params=RM)
+    g2 = render_gbuffer(scene, cornell_camera(), None, jax.random.PRNGKey(2),
+                        cam_cfg=CFG, params=RM)
+    assert not np.allclose(np.asarray(g1.render), np.asarray(g2.render))
+    # albedo/normal/depth planes are noise-free
+    np.testing.assert_allclose(np.asarray(g1.albedo), np.asarray(g2.albedo))
+    np.testing.assert_allclose(np.asarray(g1.depth), np.asarray(g2.depth))
+
+
+def test_spp_reduces_noise(scene):
+    k = jax.random.PRNGKey(3)
+    g1 = render_gbuffer(scene, cornell_camera(), None, k, cam_cfg=CFG, params=RM, spp=1)
+    g16 = render_gbuffer(scene, cornell_camera(), None, k, cam_cfg=CFG, params=RM, spp=16)
+    # variance of the 16-spp render against its own mean must be smaller
+    r1, r16 = np.asarray(g1.render), np.asarray(g16.render)
+    # compare local high-frequency energy on the floor region
+    def hf(x):
+        return np.abs(np.diff(x[0, 48:, 8:56], axis=0)).mean()
+    assert hf(r16) < hf(r1)
+
+
+def test_gradients_flow_to_materials(scene):
+    key = jax.random.PRNGKey(0)
+
+    def loss(albedo_table):
+        s = scene.replace(materials=scene.materials.replace(albedo=albedo_table))
+        g = render_gbuffer(s, cornell_camera(), None, key, cam_cfg=CFG, params=RM)
+        return jnp.mean(g.render ** 2)
+
+    grads = jax.grad(loss)(scene.materials.albedo)
+    ga = np.asarray(grads)
+    assert np.isfinite(ga).all()
+    # walls visible -> nonzero gradient for wall materials 0..2
+    assert np.abs(ga[:3]).max() > 0
