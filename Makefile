@@ -1,0 +1,47 @@
+# Build / test / bench entry points (reference Makefile:61-88 parity).
+#
+#   make native    - build the C++ host runtime (librdt_native.so)
+#   make test      - hermetic suite on a local 8-device CPU mesh
+#   make test_tpu  - compiled-kernel parity on the real chip
+#   make bench     - north-star benchmark (one JSON line)
+#   make run_no_args / make help - CLI usage (reference run_no_args)
+#   make memcheck  - kernels in Pallas interpret mode (compute-sanitizer analogue)
+#   make docs      - API docs via pydoc (Doxygen analogue)
+#   make clean
+
+PY ?= python3
+
+.PHONY: all native test test_tpu bench run_no_args help memcheck docs clean
+
+all: native test
+
+native:
+	$(PY) native/build.py
+
+test:
+	$(PY) -m pytest tests/ -q --ignore=tests/test_tpu_hw.py
+
+test_tpu:
+	RDT_TEST_PLATFORM=tpu $(PY) -m pytest tests/test_tpu_hw.py -q
+
+bench:
+	$(PY) bench.py
+
+run_no_args:
+	$(PY) -m raymarchdenoisercuda_tpu.cli
+
+help:
+	$(PY) -m raymarchdenoisercuda_tpu.cli -h
+
+# interpret-mode kernel checks: the Pallas analogue of compute-sanitizer
+# (reference Makefile:67-68); runs the interpret-vs-oracle parity tests
+memcheck:
+	$(PY) -m pytest tests/test_atrous_pallas.py tests/test_box_pallas.py -q
+
+docs:
+	mkdir -p build/docs
+	$(PY) -m pydoc -w raymarchdenoisercuda_tpu && mv raymarchdenoisercuda_tpu.html build/docs/ || true
+
+clean:
+	rm -rf build __pycache__ .pytest_cache native/librdt_native.so
+	find . -name "__pycache__" -type d -prune -exec rm -rf {} \; 2>/dev/null || true

@@ -55,7 +55,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_tile_rows(H: int, W: int, halo_pad: int, n_haloed_planes: int,
                     n_center_planes: int = 0, n_temp_planes: int = 0,
-                    vmem_budget: int = 85 * 2 ** 20) -> int:
+                    vmem_budget: int = 72 * 2 ** 20) -> int:
     """Choose TILE_H to fit v5e VMEM (128 MB): DMA-staged haloed scratch
     (single-buffered), double-buffered center-blocked inputs/outputs, and the
     kernel body's live temporaries (Mosaic schedules the statically-unrolled
@@ -299,7 +299,7 @@ def atrous_level_fwd_pallas(
         ),
         scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
         + [pltpu.SemaphoreType.DMA((5,))],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
         _pad_rows_halo(color, H_pad, halo_pad),
@@ -346,7 +346,7 @@ def atrous_level_bwd_pallas(
         ),
         scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
         + [pltpu.SemaphoreType.DMA((8,))],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
         _pad_rows_halo(color, H_pad, halo_pad),

@@ -91,7 +91,7 @@ def box_filter_pallas(
             pltpu.VMEM((C_, BLK, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(_pad_rows_halo(x.astype(jnp.float32), H_pad, halo_pad))
     return out[:, :H, :]

@@ -1,0 +1,140 @@
+"""Temporal reprojection / accumulation tests (ops/temporal.py) and the
+sharded variant's parity (parallel/sharded.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchdenoisercuda_tpu.config import SVGFParams
+from raymarchdenoisercuda_tpu.gbuffer import GBuffer, History
+from raymarchdenoisercuda_tpu.ops.temporal import (
+    bilinear_gather,
+    temporal_accumulate,
+    spatial_moments,
+)
+
+P = SVGFParams()
+
+
+def _gbuf(rng, H=24, W=32, motion=None):
+    color = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    albedo = jnp.full((3, H, W), 0.7)
+    normal = jnp.zeros((3, H, W)).at[2].set(1.0)
+    depth = jnp.full((H, W), 0.5)
+    m = jnp.zeros((2, H, W)) if motion is None else motion
+    return GBuffer(render=color, albedo=albedo, normal=normal, depth=depth, motion=m)
+
+
+def _warm_history(gbuf, n=5.0):
+    H, W = gbuf.shape
+    return History(
+        color=gbuf.render * 0 + 0.25,
+        moments=jnp.stack([jnp.full((H, W), 0.25), jnp.full((H, W), 0.0625 + 1e-4)]),
+        length=jnp.full((H, W), n),
+        prev_depth=gbuf.depth,
+        prev_normal=gbuf.normal,
+    )
+
+
+def test_bilinear_gather_identity(rng):
+    x = jnp.asarray(rng.random((3, 9, 11), dtype=np.float32))
+    ys = jnp.arange(9, dtype=jnp.float32)[:, None] * jnp.ones((1, 11))
+    xs = jnp.ones((9, 1)) * jnp.arange(11, dtype=jnp.float32)[None, :]
+    out = bilinear_gather(x, ys, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_bilinear_gather_interpolates(rng):
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 3, 4))
+    ys = jnp.full((1, 1), 0.5)
+    xs = jnp.full((1, 1), 1.5)
+    out = bilinear_gather(x, ys, xs)
+    # average of x[0,0,1], x[0,0,2], x[0,1,1], x[0,1,2] = (1+2+5+6)/4
+    np.testing.assert_allclose(float(out[0, 0, 0]), 3.5, atol=1e-6)
+
+
+def test_first_frame_uses_current_color(rng):
+    g = _gbuf(rng)
+    out, var, hist = temporal_accumulate(g, History.zeros(*g.shape), params=P)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(g.render), atol=1e-6)
+    assert float(np.asarray(hist.length).min()) == 1.0
+    assert np.asarray(var).min() >= 0
+
+
+def test_valid_history_blends(rng):
+    g = _gbuf(rng)
+    hist = _warm_history(g)
+    params = SVGFParams(history_clamp=False)
+    out, _, hist2 = temporal_accumulate(g, hist, params=params)
+    expect = 0.8 * 0.25 + 0.2 * np.asarray(g.render)  # alpha=max(0.2, 1/6)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-6)
+    assert float(np.asarray(hist2.length).max()) == 6.0
+
+
+def test_depth_mismatch_rejects_history(rng):
+    g = _gbuf(rng)
+    hist = _warm_history(g).replace(prev_depth=jnp.full(g.shape, 0.9))
+    out, _, hist2 = temporal_accumulate(g, hist, params=P)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(g.render), atol=1e-6)
+    assert float(np.asarray(hist2.length).max()) == 1.0
+
+
+def test_motion_shifts_history(rng):
+    H, W = 24, 32
+    # history has a bright column at x=10; motion says "previous pixel is at
+    # x+4", so current x=6 should pick up the bright history column
+    hist_color = jnp.zeros((3, H, W)).at[:, :, 10].set(1.0)
+    motion = jnp.zeros((2, H, W)).at[1].set(4.0)
+    g = _gbuf(rng, H, W, motion=motion)
+    hist = _warm_history(g).replace(color=hist_color)
+    params = SVGFParams(history_clamp=False)
+    out, _, _ = temporal_accumulate(g, hist, params=params)
+    got = np.asarray(out)
+    base = np.asarray(g.render)
+    lift = got - 0.2 * base  # (1-alpha)*hist contribution
+    assert lift[:, 5, 6].mean() > 0.7  # bright column reprojected to x=6
+    assert lift[:, 5, 12].mean() < 0.05
+
+
+def test_spatial_moments_constant():
+    lum = jnp.full((16, 16), 0.3)
+    m1, m2 = spatial_moments(lum)
+    np.testing.assert_allclose(np.asarray(m1), 0.3, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2), 0.09, rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sharded_temporal_matches_single(rng):
+    from jax.sharding import PartitionSpec as Pspec
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.parallel.mesh import make_mesh
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_local, PLANE, PLANES,
+    )
+
+    H = W = 32
+    motion = jnp.zeros((2, H, W)).at[1].set(2.0).at[0].set(-1.0)
+    g = _gbuf(rng, H, W, motion=motion)
+    hist = _warm_history(g).replace(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)))
+    params = SVGFParams(history_clamp=True)
+
+    want_c, want_v, want_h = temporal_accumulate(g, hist, params=params)
+
+    mesh = make_mesh(4)
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=None)
+    h_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                      prev_depth=PLANE, prev_normal=PLANES)
+    fn = shard_map(
+        lambda gb, h: temporal_accumulate_local(gb, h, H, W, params=params),
+        mesh=mesh, in_specs=(gb_specs, h_specs),
+        out_specs=(PLANES, PLANE, h_specs), check_vma=False)
+    got_c, got_v, got_h = fn(g.replace(denoised=None), hist)
+
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h.length), np.asarray(want_h.length))
