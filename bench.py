@@ -45,6 +45,24 @@ def _scene_inputs(H, W, seed=0):
     return color, variance, jnp.asarray(n), depth
 
 
+def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=3):
+    """Seconds/iteration via the slope between two chain lengths run inside
+    one jit each — robust to the axon tunnel's per-call RPC latency jitter
+    (a forced scalar readback guarantees completion)."""
+    f_lo, f_hi = make_fn(n_lo), make_fn(n_hi)
+    float(f_lo(x))
+    float(f_hi(x))
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f_lo(x))
+        t1 = time.perf_counter()
+        float(f_hi(x))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n_hi - n_lo))
+    return sorted(slopes)[len(slopes) // 2]
+
+
 def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
     """North-star config: SVGF fwd+bwd at 1080p, 5 levels."""
     import jax
@@ -61,23 +79,21 @@ def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
         from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
         spatial = functools.partial(svgf_spatial_ref, detach_weights=True)
 
-    @jax.jit
-    def fwd_bwd(c):
-        def loss(c):
-            oc, ov = spatial(c, variance, normal, depth, params=params)
-            return jnp.sum(oc ** 2) + jnp.sum(ov)
-        l, g = jax.value_and_grad(loss)(c)
-        return l, g
+    def make_chain(n):
+        @jax.jit
+        def f(c):
+            def loss(c):
+                oc, ov = spatial(c, variance, normal, depth, params=params)
+                return jnp.sum(oc ** 2) + jnp.sum(ov)
 
-    l, g = fwd_bwd(color)  # compile + warmup
-    g.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        l, g = fwd_bwd(color)
-    g.block_until_ready()
-    dt = (time.perf_counter() - t0) / repeats
-    mpix_s = H * W / dt / 1e6
-    return mpix_s, dt
+            def body(i, cv):
+                _, g = jax.value_and_grad(loss)(cv)
+                return g  # chain through the gradient: forces full fwd+bwd
+            return jnp.sum(jax.lax.fori_loop(0, n, body, c))
+        return f
+
+    dt = _chain_time(make_chain, color)
+    return H * W / dt / 1e6, dt
 
 
 def bench_svgf_fwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):

@@ -139,79 +139,100 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             (color_t, normal_t, depth_t, sden_t, zgrad_t, norm_t,
              gc_t, gv_t) = [s[:] for s in scratch]
 
+        # Luminance over the whole haloed band once (per-tap l_q becomes a
+        # free slice instead of a 5-op recompute).
+        lum_t = (_LUMA[0] * color_t[0] + _LUMA[1] * color_t[1]
+                 + _LUMA[2] * color_t[2])
+
         col_c = _rows(color_t, C, TH)                      # (3, TH, W)
-        lum_c = (_LUMA[0] * col_c[0] + _LUMA[1] * col_c[1]
-                 + _LUMA[2] * col_c[2])
+        lum_c = _rows(lum_t, C, TH)
         n_c = _rows(normal_t, C, TH)
         z_c = _rows(depth_t, C, TH)
         sden_c = _rows(sden_t, C, TH)
+        inv_sden_c = 1.0 / sden_c
+
+        # Validity masks factor into 5 row masks x 5 col masks (the tap mask
+        # is their product) instead of 4 int compares per tap.  Out-of-image
+        # tap *values* are left unmasked: HBM padding is zeros and lane-roll
+        # wraps are finite, and the weight's mask factor zeroes their
+        # contribution exactly as the oracle's dropped taps do.
+        sgn = 1 if mode == "fwd" else -1
+        row_m = {dy: ((gy + sgn * dy * spacing >= 0)
+                      & (gy + sgn * dy * spacing < H)).astype(jnp.float32)
+                 for dy in range(-r, r + 1)}
+        col_m = {dx: ((gx + sgn * dx * spacing >= 0)
+                      & (gx + sgn * dx * spacing < W)).astype(jnp.float32)
+                 for dx in range(-r, r + 1)}
+        if mode == "bwd":
+            in_img = (gy < H).astype(jnp.float32)
+            row_m = {dy: m * in_img for dy, m in row_m.items()}
 
         acc_c = jnp.zeros((3, TH, W), jnp.float32)
         acc_v = jnp.zeros((TH, W), jnp.float32)
         den = jnp.zeros((TH, W), jnp.float32)
 
-        def shifted(x, oy, ox, mask):
-            """x shifted so result sits at center rows; masked to 0."""
-            t = _col_roll(_rows(x, C + oy, TH), ox)
-            m = mask if x.ndim == 2 else mask[None]
-            return jnp.where(m, t, 0.0)
+        def shifted(x, oy, ox):
+            """x shifted so result sits at center rows (unmasked)."""
+            return _col_roll(_rows(x, C + oy, TH), ox)
+
+        def pow_sigma_n(x):
+            """x**sigma_normal; power-of-two exponents via squaring chains
+            (7 mults for 128) instead of the exp/log ~40-op sequence."""
+            p = params.sigma_normal
+            ip = int(p)
+            if ip == p and ip > 0 and (ip & (ip - 1)) == 0 and ip <= 1024:
+                y = x
+                while ip > 1:
+                    y = y * y
+                    ip >>= 1
+                return y
+            return jnp.power(jnp.maximum(x, 1e-20), p)
 
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
-                oy, ox = dy * spacing, dx * spacing
+                oy, ox = sgn * dy * spacing, sgn * dx * spacing
                 h = taps1d[dy + r] * taps1d[dx + r]
+                fm = row_m[dy] * col_m[dx]
 
                 if mode == "fwd":
-                    mask = ((gy + oy >= 0) & (gy + oy < H)
-                            & (gx + ox >= 0) & (gx + ox < W))
-                    fm = mask.astype(jnp.float32)
-
-                    c_q = shifted(color_t, oy, ox, mask)
-                    v_q = shifted(var_t, oy, ox, mask)
-                    n_q = shifted(normal_t, oy, ox, mask)
-                    z_q = shifted(depth_t, oy, ox, mask)
-                    l_q = (_LUMA[0] * c_q[0] + _LUMA[1] * c_q[1]
-                           + _LUMA[2] * c_q[2])
+                    c_q = shifted(color_t, oy, ox)
+                    v_q = shifted(var_t, oy, ox)
+                    n_q = shifted(normal_t, oy, ox)
+                    z_q = shifted(depth_t, oy, ox)
+                    l_q = shifted(lum_t, oy, ox)
 
                     dz_den = params.sigma_depth * jnp.abs(
                         zg[0] * oy + zg[1] * ox) + _EPS
                     wz = -jnp.abs(z_c - z_q) / dz_den
-                    wl = -jnp.abs(lum_c - l_q) / sden_c
+                    wl = -jnp.abs(lum_c - l_q) * inv_sden_c
                     ndot = jnp.maximum(n_c[0] * n_q[0] + n_c[1] * n_q[1]
                                        + n_c[2] * n_q[2], 0.0)
-                    wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
-                    w = h * fm * jnp.exp(wz + wl) * wn
+                    w = (h * fm) * jnp.exp(wz + wl) * pow_sigma_n(ndot)
 
                     acc_c = acc_c + w[None] * c_q
                     acc_v = acc_v + (w * w) * v_q
                     den = den + w
                 else:
-                    # centers p = x - (oy, ox); p's tap (oy, ox) lands on x.
-                    mask = ((gy - oy >= 0) & (gy - oy < H)
-                            & (gx - ox >= 0) & (gx - ox < W)
-                            & (gy < H))
-                    fm = mask.astype(jnp.float32)
+                    # centers p = x - d; p's tap d lands on our rows x.
+                    # oy/ox already carry the bwd sign flip (sgn).
+                    c_p = shifted(color_t, oy, ox)
+                    n_p = shifted(normal_t, oy, ox)
+                    z_p = shifted(depth_t, oy, ox)
+                    sden_p = shifted(sden_t, oy, ox)
+                    zg_p = shifted(zgrad_t, oy, ox)
+                    norm_p = jnp.maximum(shifted(norm_t, oy, ox), _EPS)
+                    g_p = shifted(gc_t, oy, ox)
+                    gv_p = shifted(gv_t, oy, ox)
+                    l_p = shifted(lum_t, oy, ox)
 
-                    c_p = shifted(color_t, -oy, -ox, mask)
-                    n_p = shifted(normal_t, -oy, -ox, mask)
-                    z_p = shifted(depth_t, -oy, -ox, mask)
-                    sden_p = shifted(sden_t, -oy, -ox, mask)
-                    zg_p = shifted(zgrad_t, -oy, -ox, mask)
-                    norm_p = jnp.where(
-                        mask, _col_roll(_rows(norm_t, C - oy, TH), -ox), 1.0)
-                    g_p = shifted(gc_t, -oy, -ox, mask)
-                    gv_p = shifted(gv_t, -oy, -ox, mask)
-                    l_p = (_LUMA[0] * c_p[0] + _LUMA[1] * c_p[1]
-                           + _LUMA[2] * c_p[2])
-
+                    # weight of center p for tap d = -(oy, ox)
                     dz_den = params.sigma_depth * jnp.abs(
-                        zg_p[0] * oy + zg_p[1] * ox) + _EPS
+                        zg_p[0] * -oy + zg_p[1] * -ox) + _EPS
                     wz = -jnp.abs(z_p - z_c) / dz_den
                     wl = -jnp.abs(l_p - lum_c) / jnp.maximum(sden_p, _EPS)
                     ndot = jnp.maximum(n_p[0] * n_c[0] + n_p[1] * n_c[1]
                                        + n_p[2] * n_c[2], 0.0)
-                    wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
-                    w = h * fm * jnp.exp(wz + wl) * wn
+                    w = (h * fm) * jnp.exp(wz + wl) * pow_sigma_n(ndot)
                     w_over_n = w / norm_p
 
                     acc_c = acc_c + w_over_n[None] * g_p
