@@ -48,6 +48,35 @@ from ..common import finite_diff_gradients
 # Rec.709 luma coefficients (must match gbuffer.luminance).
 _LUMA = (0.2126, 0.7152, 0.0722)
 
+# Fast polynomial exp inside kernels (the 25 per-tap exps dominate the VPU
+# cost; native exp is a long multi-op sequence).  Relative error ~1e-7 —
+# far inside the oracle-parity tolerances.  Set False to fall back.
+_FAST_EXP = True
+
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _exp_fast(x: jax.Array) -> jax.Array:
+    """exp(x) for x <= 0 via 2^i * exp(f·ln2), f in [-0.5, 0.5].
+
+    Range reduction by round-to-nearest exponent + degree-6 Taylor on the
+    reduced argument (|z| <= 0.347 -> truncation error ~1.3e-7 relative);
+    2^i is assembled with an exponent-field bitcast.  Inputs below ~-87
+    underflow to ~0 exactly like native exp.
+    """
+    if not _FAST_EXP:
+        return jnp.exp(x)
+    y = x * _LOG2E
+    yi = jnp.floor(y + 0.5)
+    z = (y - yi) * _LN2
+    # Horner deg-6 Taylor of exp(z)
+    p = 1.0 + z * (1.0 + z * (0.5 + z * (1.0 / 6.0 + z * (
+        1.0 / 24.0 + z * (1.0 / 120.0 + z * (1.0 / 720.0))))))
+    i = jnp.clip(yi.astype(jnp.int32), -126, 127)
+    two_i = pltpu.bitcast(((i + 127) << 23), jnp.float32)
+    return p * two_i
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -107,37 +136,55 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         else:
             dcol_ref, dvar_ref = refs[n_hbm:n_hbm + 2]
             scratch = refs[n_hbm + 2:-1]
-        sems = refs[-1]
+        sems = refs[-1]  # (2, n_hbm) DMA semaphores
 
         b = pl.program_id(0)
-        # Stage all haloed planes: rows [b*TH, b*TH+BLK) of the pre-padded
-        # HBM arrays (the reference's cacheTile, as async DMA).
-        row0 = pl.multiple_of(b * TH, 8)
-        for i, (src, dst) in enumerate(zip(hbm, scratch)):
-            if src.ndim == 3:
-                cp = pltpu.make_async_copy(
-                    src.at[:, pl.ds(row0, BLK), :], dst, sems.at[i])
-            else:
-                cp = pltpu.make_async_copy(
-                    src.at[pl.ds(row0, BLK), :], dst, sems.at[i])
-            cp.start()
-        for i, (src, dst) in enumerate(zip(hbm, scratch)):
-            if src.ndim == 3:
-                pltpu.make_async_copy(
-                    src.at[:, pl.ds(row0, BLK), :], dst, sems.at[i]).wait()
-            else:
-                pltpu.make_async_copy(
-                    src.at[pl.ds(row0, BLK), :], dst, sems.at[i]).wait()
+        nb = pl.num_programs(0)
+
+        # Double-buffered staging: each scratch plane has a leading slot dim.
+        # Step b computes on slot b%2 (whose DMA was started at step b-1 —
+        # or right here for b==0) while prefetching band b+1 into the other
+        # slot, overlapping the HBM reads with the tap loop's compute.
+        def make_copies(slot, band):
+            row0 = pl.multiple_of(band * TH, 8)
+            cps = []
+            for i, (src, dst) in enumerate(zip(hbm, scratch)):
+                if src.ndim == 3:
+                    cps.append(pltpu.make_async_copy(
+                        src.at[:, pl.ds(row0, BLK), :], dst.at[slot],
+                        sems.at[slot, i]))
+                else:
+                    cps.append(pltpu.make_async_copy(
+                        src.at[pl.ds(row0, BLK), :], dst.at[slot],
+                        sems.at[slot, i]))
+            return cps
+
+        slot = jax.lax.rem(b, 2)
+        nslot = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _():
+            for cp in make_copies(0, 0):
+                cp.start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            for cp in make_copies(nslot, b + 1):
+                cp.start()
+
+        for cp in make_copies(slot, b):
+            cp.wait()
 
         gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
 
+        tiles = [s[slot] for s in scratch]
         if mode == "fwd":
-            color_t, normal_t, depth_t, sden_t, var_t = [s[:] for s in scratch]
+            color_t, normal_t, depth_t, sden_t, var_t = tiles
             zg = zgrad_ref[:]  # (2, TH, W) center rows
         else:
             (color_t, normal_t, depth_t, sden_t, zgrad_t, norm_t,
-             gc_t, gv_t) = [s[:] for s in scratch]
+             gc_t, gv_t) = tiles
 
         # Luminance over the whole haloed band once (per-tap l_q becomes a
         # free slice instead of a 5-op recompute).
@@ -171,9 +218,19 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         acc_v = jnp.zeros((TH, W), jnp.float32)
         den = jnp.zeros((TH, W), jnp.float32)
 
+        # dx-major movement: lane-roll each staged plane ONCE per dx over the
+        # whole band (5 rolls/plane), then per-tap reads are row slices of the
+        # pre-rolled band.  The naive per-tap slice+roll costs ~2 copies per
+        # plane per tap (450 plane-ops); this is ~(5 + 25) per plane (~270 ->
+        # ~180 band-row-equivalents) and lets Mosaic CSE the row slices.
+        _rolled = {}
+
         def shifted(x, oy, ox):
             """x shifted so result sits at center rows (unmasked)."""
-            return _col_roll(_rows(x, C + oy, TH), ox)
+            key = (id(x), ox)
+            if key not in _rolled:
+                _rolled[key] = _col_roll(x, ox)
+            return _rows(_rolled[key], C + oy, TH)
 
         def pow_sigma_n(x):
             """x**sigma_normal; power-of-two exponents via squaring chains
@@ -207,7 +264,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                     wl = -jnp.abs(lum_c - l_q) * inv_sden_c
                     ndot = jnp.maximum(n_c[0] * n_q[0] + n_c[1] * n_q[1]
                                        + n_c[2] * n_q[2], 0.0)
-                    w = (h * fm) * jnp.exp(wz + wl) * pow_sigma_n(ndot)
+                    w = (h * fm) * _exp_fast(wz + wl) * pow_sigma_n(ndot)
 
                     acc_c = acc_c + w[None] * c_q
                     acc_v = acc_v + (w * w) * v_q
@@ -232,7 +289,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                     wl = -jnp.abs(l_p - lum_c) / jnp.maximum(sden_p, _EPS)
                     ndot = jnp.maximum(n_p[0] * n_c[0] + n_p[1] * n_c[1]
                                        + n_p[2] * n_c[2], 0.0)
-                    w = (h * fm) * jnp.exp(wz + wl) * pow_sigma_n(ndot)
+                    w = (h * fm) * _exp_fast(wz + wl) * pow_sigma_n(ndot)
                     w_over_n = w / norm_p
 
                     acc_c = acc_c + w_over_n[None] * g_p
@@ -263,8 +320,9 @@ def _center_spec(n_planes, TH, W):
 
 
 def _scratch_tiles(plane_dims, BLK, W):
+    # leading dim = 2 double-buffer slots
     return [
-        pltpu.VMEM((BLK, W) if d is None else (d, BLK, W), jnp.float32)
+        pltpu.VMEM((2, BLK, W) if d is None else (2, d, BLK, W), jnp.float32)
         for d in plane_dims
     ]
 
@@ -295,7 +353,7 @@ def atrous_level_fwd_pallas(
     halo_pad = _round_up(params.radius * spacing, 8)
     # haloed scratch: 9 planes; double-buffered center blocks: zgrad(2)+outs(5)
     n_taps = (2 * params.radius + 1) ** 2
-    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=9, n_center_planes=7,
+    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=18, n_center_planes=7,
                          n_temp_planes=3 * n_taps)
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
@@ -319,7 +377,7 @@ def atrous_level_fwd_pallas(
             jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
         ),
         scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
-        + [pltpu.SemaphoreType.DMA((5,))],
+        + [pltpu.SemaphoreType.DMA((2, 5))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
@@ -343,7 +401,7 @@ def atrous_level_bwd_pallas(
     spacing = 1 << level
     halo_pad = _round_up(params.radius * spacing, 8)
     n_taps = (2 * params.radius + 1) ** 2
-    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=15, n_center_planes=4,
+    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=30, n_center_planes=4,
                          n_temp_planes=4 * n_taps)
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
@@ -366,7 +424,7 @@ def atrous_level_bwd_pallas(
             jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
         ),
         scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
-        + [pltpu.SemaphoreType.DMA((8,))],
+        + [pltpu.SemaphoreType.DMA((2, 8))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
