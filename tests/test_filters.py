@@ -1,0 +1,85 @@
+"""Tests for the unified FilterParams dispatch (all four reference types)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchdenoisercuda_tpu.config import FilterParams, FilterType
+from raymarchdenoisercuda_tpu.gbuffer import GBuffer
+from raymarchdenoisercuda_tpu.ops.filters import (
+    apply_filter,
+    gaussian_filter,
+    cross_bilateral_filter,
+)
+
+
+def _gbuf(rng, H=32, W=40):
+    color = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    albedo = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    normal = jnp.zeros((3, H, W)).at[2].set(1.0)
+    depth = jnp.full((H, W), 0.5)
+    return GBuffer(render=color, albedo=albedo, normal=normal, depth=depth)
+
+
+def test_gaussian_constant_preserved():
+    x = jnp.full((1, 20, 24), 0.4)
+    y = gaussian_filter(x, radius=3, sigma=1.5, depth=2)
+    np.testing.assert_allclose(np.asarray(y), 0.4, rtol=1e-5)
+
+
+def test_gaussian_smooths_noise(rng):
+    x = jnp.asarray(rng.random((1, 32, 32), dtype=np.float32))
+    y = gaussian_filter(x, radius=2, sigma=2.0)
+    assert np.asarray(y).std() < np.asarray(x).std() * 0.6
+
+
+def test_gaussian_matches_direct_small(rng):
+    import math
+    x = rng.random((1, 9, 9), dtype=np.float32)
+    got = np.asarray(gaussian_filter(jnp.asarray(x), radius=1, sigma=1.0))
+    t = [math.exp(-0.5 * (i ** 2)) for i in (-1, 0, 1)]
+    t = [v / sum(t) for v in t]
+    want = np.zeros_like(x)
+    H = W = 9
+    for i in range(H):
+        for j in range(W):
+            num = den = 0.0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = i + dy, j + dx
+                    if 0 <= yy < H and 0 <= xx < W:
+                        w = t[dy + 1] * t[dx + 1]
+                        num += w * x[0, yy, xx]
+                        den += w
+            want[0, i, j] = num / den
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_cross_bilateral_respects_albedo_edges(rng):
+    H = W = 32
+    noise = 0.05 * rng.standard_normal((3, H, W)).astype(np.float32)
+    base = np.zeros((3, H, W), np.float32)
+    base[:, :, : W // 2] = 1.0
+    color = jnp.asarray(base + noise)
+    albedo = jnp.asarray(base)
+    normal = jnp.zeros((3, H, W)).at[2].set(1.0)
+    depth = jnp.full((H, W), 0.5)
+    out = np.asarray(cross_bilateral_filter(
+        color, albedo, normal, depth,
+        params=FilterParams(type=FilterType.CROSS, radius=3, sigma_albedo=0.1)))
+    assert out[:, :, : W // 2 - 3].mean() > 0.9
+    assert out[:, :, W // 2 + 3:].mean() < 0.1
+    # noise reduced on each side
+    assert out[:, 4:-4, : W // 2 - 3].std() < color[:, 4:-4, : W // 2 - 3].std() * 0.7
+
+
+@pytest.mark.parametrize("ftype", list(FilterType))
+def test_apply_filter_dispatch(rng, ftype):
+    g = _gbuf(rng)
+    out = apply_filter(g, FilterParams(type=ftype, depth=2, radius=2))
+    assert out.denoised is not None
+    d = np.asarray(out.denoised)
+    assert d.shape == (3, 32, 40)
+    assert np.isfinite(d).all()
+    # every filter must actually smooth an uncorrelated-noise image
+    assert d.std() < np.asarray(g.render).std()
