@@ -147,6 +147,48 @@ def bench_raymarch(H=1080, W=1920, repeats=5):
     return H * W / dt / 1e6, dt
 
 
+def bench_pipeline(H=1080, W=1920, iterations=5, spp=1):
+    """BASELINE config 3: fused raymarch + G-buffer -> temporal -> SVGF per
+    frame (fwd path, animated camera), measured as a frame chain (the
+    temporal history is the natural dependency)."""
+    import jax
+    import jax.numpy as jnp
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams, SVGFParams
+    from raymarchdenoisercuda_tpu.gbuffer import History
+    from raymarchdenoisercuda_tpu.models.svgf import svgf_denoise_frame
+    from raymarchdenoisercuda_tpu.ops.raymarch import cornell_scene, cornell_camera, render_gbuffer
+
+    cam_cfg = CameraParams(width=W, height=H)
+    rm = RaymarchParams()
+    svgf = SVGFParams(iterations=iterations)
+    scene = cornell_scene()
+    cam = cornell_camera()
+    platform = jax.devices()[0].platform
+    impl = "pallas" if platform in ("tpu", "axon") else "reference"
+
+    def make_chain(n):
+        @jax.jit
+        def f(key):
+            hist = History.zeros(H, W)
+
+            def body(i, carry):
+                hist, key = carry
+                key, sub = jax.random.split(key)
+                g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
+                                   params=rm, spp=spp)
+                out, hist = svgf_denoise_frame(g, hist, params=svgf, impl=impl)
+                return (hist, key)
+
+            hist, _ = jax.lax.fori_loop(0, n, body, (hist, key))
+            return jnp.sum(hist.color)
+        return f
+
+    import jax.random as jr
+    key = jr.PRNGKey(0)
+    dt = _chain_time(make_fn=make_chain, x=key, n_lo=2, n_hi=10)
+    return H * W / dt / 1e6, dt
+
+
 def _baseline_value():
     """First recorded round's north-star value, if any."""
     vals = []
@@ -164,7 +206,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="fwd_bwd_1080p",
                     choices=["fwd_bwd_1080p", "fwd_1080p", "raymarch_1080p",
-                             "fwd_bwd_1080p_ref"])
+                             "fwd_bwd_1080p_ref", "pipeline_1080p"])
     ap.add_argument("--repeats", type=int, default=20)
     ap.add_argument("--csv", default=None, help="append timings to CSV")
     args = ap.parse_args()
@@ -178,6 +220,9 @@ def main():
     elif args.config == "fwd_bwd_1080p_ref":
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats, impl="reference")
         metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"
+    elif args.config == "pipeline_1080p":
+        value, dt = bench_pipeline()
+        metric = "raymarch+temporal+SVGF frame 1080p"
     else:
         value, dt = bench_raymarch(repeats=min(args.repeats, 5))
         metric = "raymarch+gbuffer 1080p"

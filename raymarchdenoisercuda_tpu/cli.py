@@ -10,20 +10,19 @@ runner — plus Mpix/s where meaningful.
 
 from __future__ import annotations
 
-import argparse
 import sys
 
 import numpy as np
 
 from . import testing
-from .testing import case_, skip
+from .testing import case_
 
 
 def _register_builtin_cases():
     import jax
     import jax.numpy as jnp
 
-    from .config import CameraParams, RaymarchParams, SVGFParams
+    from .config import CameraParams, SVGFParams
     from .utils.timing import time_fn, mpix_per_s, print_device_properties
 
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 class FilterType(enum.Enum):
@@ -80,6 +80,11 @@ class SVGFParams:
     history_clamp: bool = True         # clamp history to neighborhood min/max
     variance_boost_frames: int = 4     # spatial variance fallback for short history
     feedback_level: int = 1      # à-trous level whose output feeds next frame's history
+    # Reprojection search bound in pixels: bilinear history samples are
+    # computed with streaming shifts for |motion| <= max_motion (TPU gathers
+    # are ~100x slower); larger motion counts as disocclusion.  None = exact
+    # gather-based reprojection for unbounded motion.
+    max_motion: Optional[int] = 6
 
     def __post_init__(self):
         if self.iterations < 1:

@@ -13,7 +13,6 @@ planes are planar float32 (C, H, W) in [0, 1] (see gbuffer.py).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

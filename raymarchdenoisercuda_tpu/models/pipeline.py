@@ -17,7 +17,7 @@ import optax
 
 from ..config import CameraParams, RaymarchParams, SVGFParams
 from ..gbuffer import GBuffer, History
-from ..ops.raymarch import Scene, Camera, render_gbuffer, cornell_scene, cornell_camera
+from ..ops.raymarch import Scene, Camera, render_gbuffer
 from .svgf import svgf_denoise_frame
 
 

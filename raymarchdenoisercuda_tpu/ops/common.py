@@ -9,7 +9,6 @@ normalization divides by the sum of surviving weights only.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -37,20 +36,18 @@ def shift2d(x: jax.Array, dy: int, dx: int) -> jax.Array:
     )
 
 
-@functools.lru_cache(maxsize=None)
-def _valid_mask_np(H: int, W: int, dy: int, dx: int):
-    import numpy as np
-
-    m = np.zeros((H, W), dtype=np.float32)
-    ys = slice(max(-dy, 0), H - max(dy, 0))
-    xs = slice(max(-dx, 0), W - max(dx, 0))
-    m[ys, xs] = 1.0
-    return m
-
-
 def valid_mask(H: int, W: int, dy: int, dx: int, dtype=jnp.float32) -> jax.Array:
-    """Mask of pixels whose (dy, dx)-shifted neighbor is inside the image."""
-    return jnp.asarray(_valid_mask_np(H, W, dy, dx), dtype)
+    """Mask of pixels whose (dy, dx)-shifted neighbor is inside the image.
+
+    Built from 1-D iota comparisons (outer product), NOT a materialized
+    (H, W) constant: the 25-49 per-tap masks of the big filters would
+    otherwise embed hundreds of MB of literals into the compiled module.
+    """
+    iy = jnp.arange(H)[:, None]
+    ix = jnp.arange(W)[None, :]
+    rm = (iy + dy >= 0) & (iy + dy < H)
+    cm = (ix + dx >= 0) & (ix + dx < W)
+    return (rm & cm).astype(dtype)
 
 
 def tap_offsets(radius: int, spacing: int = 1) -> Tuple[Tuple[int, int], ...]:

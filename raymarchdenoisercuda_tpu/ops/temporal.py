@@ -31,35 +31,104 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SVGFParams
 from ..gbuffer import GBuffer, History, luminance
 from .common import shift2d, valid_mask
 
 
-def bilinear_gather(plane: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
-    """Bilinearly sample ``plane`` (..., H, W) at float coords (H, W) grids.
+def bilinear_gather_many(planes, ys: jax.Array, xs: jax.Array):
+    """Bilinearly sample a list of (..., H, W) planes at float coord grids.
 
+    All planes are stacked channel-minor and fetched with ONE gather per
+    bilinear tap (4 total): on TPU, gather cost is dominated by the index
+    stream, so 10 planes in a (H*W, 10) layout cost ~1 plane's worth —
+    per-plane gathers made temporal reprojection ~250 ms/frame at 1080p.
     Out-of-range taps clamp (validity handled separately by the caller).
     """
-    H, W = plane.shape[-2], plane.shape[-1]
+    H, W = planes[0].shape[-2:]
+    chans = []
+    splits = []
+    for p in planes:
+        lead = int(np.prod(p.shape[:-2])) if p.ndim > 2 else 1
+        chans.append(p.reshape(lead, H * W))
+        splits.append(lead)
+    stacked = jnp.concatenate(chans, axis=0).T  # (H*W, P) channel-minor
+    P = stacked.shape[1]
+
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
-    fy = ys - y0
-    fx = xs - x0
+    fy = (ys - y0)[..., None]
+    fx = (xs - x0)[..., None]
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
     y1i = jnp.clip(y0i + 1, 0, H - 1)
     x1i = jnp.clip(x0i + 1, 0, W - 1)
 
-    flat = plane.reshape(plane.shape[:-2] + (H * W,))
-
     def at(yi, xi):
-        return jnp.take(flat, yi * W + xi, axis=-1)
+        return stacked[yi * W + xi]  # (H, W, P) via one gather
 
     top = at(y0i, x0i) * (1 - fx) + at(y0i, x1i) * fx
     bot = at(y1i, x0i) * (1 - fx) + at(y1i, x1i) * fx
-    return top * (1 - fy) + bot * fy
+    out = top * (1 - fy) + bot * fy  # (H, W, P)
+
+    results = []
+    o = 0
+    for p, lead in zip(planes, splits):
+        part = jnp.moveaxis(out[..., o:o + lead], -1, 0)
+        results.append(part.reshape(p.shape[:-2] + ys.shape))
+        o += lead
+    return results
+
+
+def bilinear_gather(plane: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Bilinearly sample one plane (see :func:`bilinear_gather_many`)."""
+    return bilinear_gather_many([plane], ys, xs)[0]
+
+
+def bilinear_shift_sample_many(planes, motion: jax.Array, max_motion: int):
+    """Bounded-motion bilinear reprojection via streaming shifts (no gather).
+
+    XLA TPU gather costs ~30 ns/index — 4 taps x 2 Mpix made reprojection
+    ~250 ms/frame at 1080p regardless of plane count.  For |motion| <= M the
+    bilinear sample is exactly
+
+        out[p] = sum_{d in [-M, M+1]^2} tent(m0 - dy) * tent(m1 - dx) * x[p + d]
+
+    with ``tent(t) = max(0, 1 - |t|)`` (only the 2x2 integer offsets
+    bracketing the motion get nonzero weight), i.e. (2M+2)^2 statically
+    shifted fused multiply-adds — streaming VPU work instead of gathers.
+
+    Samples with |motion| > M or outside the image read zeros; callers treat
+    them as invalid history (same policy as the sharded bounded-motion path).
+    Returns (results, within_bounds_mask).
+    """
+    H, W = planes[0].shape[-2:]
+    chans = []
+    splits = []
+    for p in planes:
+        lead = int(np.prod(p.shape[:-2])) if p.ndim > 2 else 1
+        chans.append(p.reshape(lead, H, W))
+        splits.append(lead)
+    stack = jnp.concatenate(chans, axis=0)  # (P, H, W)
+
+    m0, m1 = motion[0], motion[1]
+    out = jnp.zeros_like(stack)
+    for dy in range(-max_motion, max_motion + 2):
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(m0 - dy))
+        for dx in range(-max_motion, max_motion + 2):
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(m1 - dx))
+            w = ty * tx
+            out = out + w[None] * shift2d(stack, dy, dx)
+
+    within = (jnp.abs(m0) <= max_motion) & (jnp.abs(m1) <= max_motion)
+    results = []
+    o = 0
+    for p, lead in zip(planes, splits):
+        results.append(out[o:o + lead].reshape(p.shape))
+        o += lead
+    return results, within
 
 
 def _neighborhood_minmax(color: jax.Array, radius: int = 1):
@@ -119,11 +188,15 @@ def temporal_accumulate(
 
     in_bounds = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
 
-    prev_color = bilinear_gather(history.color, ys, xs)
-    prev_moments = bilinear_gather(history.moments, ys, xs)
-    prev_len = bilinear_gather(history.length, ys, xs)
-    prev_depth = bilinear_gather(history.prev_depth, ys, xs)
-    prev_normal = bilinear_gather(history.prev_normal, ys, xs)
+    hist_planes = [history.color, history.moments, history.length,
+                   history.prev_depth, history.prev_normal]
+    if params.max_motion is not None:
+        gathered, within = bilinear_shift_sample_many(
+            hist_planes, motion, params.max_motion)
+        in_bounds = in_bounds & within
+    else:
+        gathered = bilinear_gather_many(hist_planes, ys, xs)
+    prev_color, prev_moments, prev_len, prev_depth, prev_normal = gathered
 
     # geometric consistency: relative depth + normal agreement
     depth_ok = jnp.abs(prev_depth - gbuf.depth) <= 0.1 * jnp.maximum(

@@ -15,7 +15,6 @@ mesh (SURVEY.md §5 long-context row).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

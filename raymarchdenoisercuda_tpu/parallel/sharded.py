@@ -19,7 +19,7 @@ gradients of replicated leaves (materials) are psum'd by shard_map itself.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 import time
 import traceback
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 registered_funcs: Dict[str, Callable[[], None]] = {}
 
