@@ -117,7 +117,8 @@ def _col_roll(x: jax.Array, ox: int) -> jax.Array:
 
 
 def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
-                       params: SVGFParams, mode: str, n_hbm: int):
+                       params: SVGFParams, mode: str, n_hbm: int,
+                       Wp: int = None):
     """Build the fwd or bwd kernel body for one à-trous level.
 
     Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad VMEM block,
@@ -127,6 +128,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
     taps1d = _spline_taps(r)
     C = halo_pad  # row offset of the band's first center row inside the tile
     BLK = TH + 2 * halo_pad
+    Wp = W if Wp is None else Wp  # padded (layout) width; W = true image width
 
     def kernel(*refs):
         hbm = refs[:n_hbm]
@@ -175,8 +177,8 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         for cp in make_copies(slot, b):
             cp.wait()
 
-        gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
 
         tiles = [s[slot] for s in scratch]
         if mode == "fwd":
@@ -214,9 +216,9 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             in_img = (gy < H).astype(jnp.float32)
             row_m = {dy: m * in_img for dy, m in row_m.items()}
 
-        acc_c = jnp.zeros((3, TH, W), jnp.float32)
-        acc_v = jnp.zeros((TH, W), jnp.float32)
-        den = jnp.zeros((TH, W), jnp.float32)
+        acc_c = jnp.zeros((3, TH, Wp), jnp.float32)
+        acc_v = jnp.zeros((TH, Wp), jnp.float32)
+        den = jnp.zeros((TH, Wp), jnp.float32)
 
         # dx-major movement: lane-roll each staged plane ONCE per dx over the
         # whole band (5 rolls/plane), then per-tap reads are row slices of the
@@ -327,18 +329,20 @@ def _scratch_tiles(plane_dims, BLK, W):
     ]
 
 
-def _pad_rows(x: jax.Array, H_pad: int) -> jax.Array:
-    H = x.shape[-2]
-    if H == H_pad:
+def _pad_rows(x: jax.Array, H_pad: int, W_pad: int) -> jax.Array:
+    H, W = x.shape[-2:]
+    if H == H_pad and W == W_pad:
         return x
-    pad = [(0, 0)] * (x.ndim - 2) + [(0, H_pad - H), (0, 0)]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, H_pad - H), (0, W_pad - W)]
     return jnp.pad(x, pad)
 
 
-def _pad_rows_halo(x: jax.Array, H_pad: int, halo_pad: int) -> jax.Array:
-    """Zero-pad rows to (halo_pad + H_pad + halo_pad) for haloed DMA reads."""
-    H = x.shape[-2]
-    pad = [(0, 0)] * (x.ndim - 2) + [(halo_pad, H_pad - H + halo_pad), (0, 0)]
+def _pad_rows_halo(x: jax.Array, H_pad: int, halo_pad: int, W_pad: int) -> jax.Array:
+    """Zero-pad rows to (halo_pad + H_pad + halo_pad) for haloed DMA reads and
+    the trailing dim to W_pad (DMA slices need 128-lane-aligned minor dims)."""
+    H, W = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(halo_pad, H_pad - H + halo_pad),
+                                     (0, W_pad - W)]
     return jnp.pad(x, pad)
 
 
@@ -349,11 +353,12 @@ def atrous_level_fwd_pallas(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One forward à-trous level on TPU. Returns (color', variance', norm)."""
     H, W = depth.shape
+    Wp = _round_up(W, 128)  # DMA minor-dim lane alignment
     spacing = 1 << level
     halo_pad = _round_up(params.radius * spacing, 8)
     # haloed scratch: 9 planes; double-buffered center blocks: zgrad(2)+outs(5)
     n_taps = (2 * params.radius + 1) ** 2
-    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=18, n_center_planes=7,
+    TH = _pick_tile_rows(H, Wp, halo_pad, n_haloed_planes=18, n_center_planes=7,
                          n_temp_planes=3 * n_taps)
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
@@ -361,34 +366,34 @@ def atrous_level_fwd_pallas(
     plane_dims = (3, 3, None, None, None)  # color, normal, depth, sden, var
 
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
-                                n_hbm=5)
+                                n_hbm=5, Wp=Wp)
     cout, vout, nout = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[_hbm_spec()] * 5 + [_center_spec(2, TH, W)],
+        in_specs=[_hbm_spec()] * 5 + [_center_spec(2, TH, Wp)],
         out_specs=(
-            _center_spec(3, TH, W),
-            _center_spec(None, TH, W),
-            _center_spec(None, TH, W),
+            _center_spec(3, TH, Wp),
+            _center_spec(None, TH, Wp),
+            _center_spec(None, TH, Wp),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, H_pad, W), jnp.float32),
-            jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
-            jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
         ),
-        scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
+        scratch_shapes=_scratch_tiles(plane_dims, BLK, Wp)
         + [pltpu.SemaphoreType.DMA((2, 5))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
-        _pad_rows_halo(color, H_pad, halo_pad),
-        _pad_rows_halo(normal, H_pad, halo_pad),
-        _pad_rows_halo(depth, H_pad, halo_pad),
-        _pad_rows_halo(sigma_denom, H_pad, halo_pad),
-        _pad_rows_halo(variance, H_pad, halo_pad),
-        _pad_rows(zgrad, H_pad),
+        _pad_rows_halo(color, H_pad, halo_pad, Wp),
+        _pad_rows_halo(normal, H_pad, halo_pad, Wp),
+        _pad_rows_halo(depth, H_pad, halo_pad, Wp),
+        _pad_rows_halo(sigma_denom, H_pad, halo_pad, Wp),
+        _pad_rows_halo(variance, H_pad, halo_pad, Wp),
+        _pad_rows(zgrad, H_pad, Wp),
     )
-    return cout[:, :H, :], vout[:H, :], nout[:H, :]
+    return cout[:, :H, :W], vout[:H, :W], nout[:H, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("level", "params", "interpret"))
@@ -398,10 +403,11 @@ def atrous_level_bwd_pallas(
 ) -> Tuple[jax.Array, jax.Array]:
     """Adjoint (detached weights): returns (d_color, d_variance)."""
     H, W = depth.shape
+    Wp = _round_up(W, 128)
     spacing = 1 << level
     halo_pad = _round_up(params.radius * spacing, 8)
     n_taps = (2 * params.radius + 1) ** 2
-    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=30, n_center_planes=4,
+    TH = _pick_tile_rows(H, Wp, halo_pad, n_haloed_planes=30, n_center_planes=4,
                          n_temp_planes=4 * n_taps)
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
@@ -410,34 +416,34 @@ def atrous_level_bwd_pallas(
     plane_dims = (3, 3, None, None, 2, None, 3, None)
 
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "bwd",
-                                n_hbm=8)
+                                n_hbm=8, Wp=Wp)
     dcol, dvar = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[_hbm_spec()] * 8,
         out_specs=(
-            _center_spec(3, TH, W),
-            _center_spec(None, TH, W),
+            _center_spec(3, TH, Wp),
+            _center_spec(None, TH, Wp),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, H_pad, W), jnp.float32),
-            jax.ShapeDtypeStruct((H_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
         ),
-        scratch_shapes=_scratch_tiles(plane_dims, BLK, W)
+        scratch_shapes=_scratch_tiles(plane_dims, BLK, Wp)
         + [pltpu.SemaphoreType.DMA((2, 8))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
-        _pad_rows_halo(color, H_pad, halo_pad),
-        _pad_rows_halo(normal, H_pad, halo_pad),
-        _pad_rows_halo(depth, H_pad, halo_pad),
-        _pad_rows_halo(sigma_denom, H_pad, halo_pad),
-        _pad_rows_halo(zgrad, H_pad, halo_pad),
-        _pad_rows_halo(jnp.maximum(norm, _EPS), H_pad, halo_pad),
-        _pad_rows_halo(g_color, H_pad, halo_pad),
-        _pad_rows_halo(g_var, H_pad, halo_pad),
+        _pad_rows_halo(color, H_pad, halo_pad, Wp),
+        _pad_rows_halo(normal, H_pad, halo_pad, Wp),
+        _pad_rows_halo(depth, H_pad, halo_pad, Wp),
+        _pad_rows_halo(sigma_denom, H_pad, halo_pad, Wp),
+        _pad_rows_halo(zgrad, H_pad, halo_pad, Wp),
+        _pad_rows_halo(jnp.maximum(norm, _EPS), H_pad, halo_pad, Wp),
+        _pad_rows_halo(g_color, H_pad, halo_pad, Wp),
+        _pad_rows_halo(g_var, H_pad, halo_pad, Wp),
     )
-    return dcol[:, :H, :], dvar[:H, :]
+    return dcol[:, :H, :W], dvar[:H, :W]
 
 
 # ---------------------------------------------------------------------------

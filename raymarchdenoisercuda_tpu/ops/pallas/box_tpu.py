@@ -40,10 +40,11 @@ def box_filter_pallas(
     All ``depth`` levels execute on the VMEM band in one kernel pass.
     """
     C_, H, W = x.shape
+    Wp = _round_up(W, 128)  # DMA minor-dim lane alignment
     halo = radius * depth  # total halo consumed by `depth` in-band levels
     halo_pad = _round_up(halo, 8)
     n_taps = (2 * radius + 1) ** 2
-    TH = _pick_tile_rows(H, W, halo_pad, n_haloed_planes=C_ * 2,
+    TH = _pick_tile_rows(H, Wp, halo_pad, n_haloed_planes=C_ * 2,
                          n_center_planes=C_, n_temp_planes=2 * n_taps)
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
@@ -58,13 +59,13 @@ def box_filter_pallas(
 
         # global coords of the *band* rows (including halo rows)
         gy = (b * TH - halo_pad
-              + jax.lax.broadcasted_iota(jnp.int32, (BLK, W), 0))
-        gx = jax.lax.broadcasted_iota(jnp.int32, (BLK, W), 1)
+              + jax.lax.broadcasted_iota(jnp.int32, (BLK, Wp), 0))
+        gx = jax.lax.broadcasted_iota(jnp.int32, (BLK, Wp), 1)
         cur = tile[:]
 
         for _level in range(depth):
-            acc = jnp.zeros((C_, BLK, W), jnp.float32)
-            cnt = jnp.zeros((BLK, W), jnp.float32)
+            acc = jnp.zeros((C_, BLK, Wp), jnp.float32)
+            cnt = jnp.zeros((BLK, Wp), jnp.float32)
             for dy in range(-radius, radius + 1):
                 for dx in range(-radius, radius + 1):
                     # vertical shift wraps within the band; wrapped rows and
@@ -85,13 +86,13 @@ def box_filter_pallas(
         kernel,
         grid=(grid,),
         in_specs=[_hbm_spec()],
-        out_specs=_center_spec(C_, TH, W),
-        out_shape=jax.ShapeDtypeStruct((C_, H_pad, W), jnp.float32),
+        out_specs=_center_spec(C_, TH, Wp),
+        out_shape=jax.ShapeDtypeStruct((C_, H_pad, Wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C_, BLK, W), jnp.float32),
+            pltpu.VMEM((C_, BLK, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
-    )(_pad_rows_halo(x.astype(jnp.float32), H_pad, halo_pad))
-    return out[:, :H, :]
+    )(_pad_rows_halo(x.astype(jnp.float32), H_pad, halo_pad, Wp))
+    return out[:, :H, :W]
