@@ -6,7 +6,7 @@
 #   make bench     - north-star benchmark (one JSON line)
 #   make run_no_args / make help - CLI usage (reference run_no_args)
 #   make memcheck  - kernels in Pallas interpret mode (compute-sanitizer analogue)
-#   make docs      - API docs via pydoc (Doxygen analogue)
+#   make docs      - full API docs into build/docs (Doxygen analogue)
 #   make clean
 
 PY ?= python3
@@ -39,8 +39,7 @@ memcheck:
 	$(PY) -m pytest tests/test_atrous_pallas.py tests/test_box_pallas.py -q
 
 docs:
-	mkdir -p build/docs
-	$(PY) -m pydoc -w raymarchdenoisercuda_tpu && mv raymarchdenoisercuda_tpu.html build/docs/ || true
+	$(PY) tools/gendocs.py --out build/docs
 
 clean:
 	rm -rf build __pycache__ .pytest_cache native/librdt_native.so

@@ -63,8 +63,10 @@ def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=3):
     return sorted(slopes)[len(slopes) // 2]
 
 
-def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
+def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
+                       precision="f32"):
     """North-star config: SVGF fwd+bwd at 1080p, 5 levels."""
+    import functools
     import jax
     import jax.numpy as jnp
     from raymarchdenoisercuda_tpu.config import SVGFParams
@@ -73,9 +75,9 @@ def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
     color, variance, normal, depth = _scene_inputs(H, W)
 
     if impl == "pallas":
-        from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas as spatial
+        from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas
+        spatial = functools.partial(svgf_spatial_pallas, precision=precision)
     else:
-        import functools
         from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
         spatial = functools.partial(svgf_spatial_ref, detach_weights=True)
 
@@ -96,38 +98,42 @@ def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
     return H * W / dt / 1e6, dt
 
 
-def bench_svgf_fwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas"):
+def bench_svgf_fwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
+                   precision="f32"):
+    """Forward-only SVGF, chain-slope timed (ROADMAP measurement discipline:
+    per-call block_until_ready through the tunnel has 40-80 ms jitter)."""
     import jax
     import jax.numpy as jnp
     from raymarchdenoisercuda_tpu.config import SVGFParams
 
     params = SVGFParams(iterations=iterations)
     color, variance, normal, depth = _scene_inputs(H, W)
+    import functools
     if impl == "pallas":
-        from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas as spatial
+        from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas
+        spatial = functools.partial(svgf_spatial_pallas, precision=precision)
     else:
-        import functools
         from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
         spatial = functools.partial(svgf_spatial_ref, detach_weights=True)
 
-    import functools as ft
+    def make_chain(n):
+        @jax.jit
+        def f(c):
+            def body(i, c):
+                oc, ov = spatial(c, variance, normal, depth, params=params)
+                return oc
+            return jnp.sum(jax.lax.fori_loop(0, n, body, c))
+        return f
 
-    @jax.jit
-    def fwd(c):
-        return spatial(c, variance, normal, depth, params=params)
-
-    out = fwd(color)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fwd(color)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / repeats
+    dt = _chain_time(make_chain, color)
     return H * W / dt / 1e6, dt
 
 
 def bench_raymarch(H=1080, W=1920, repeats=5):
+    """Fused raymarch+G-buffer pass, chain-slope timed (the per-frame key
+    split forms the dependency chain)."""
     import jax
+    import jax.numpy as jnp
     from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
     from raymarchdenoisercuda_tpu.ops.raymarch import (
         cornell_scene, cornell_camera, render_gbuffer)
@@ -136,14 +142,22 @@ def bench_raymarch(H=1080, W=1920, repeats=5):
     rm = RaymarchParams()
     scene = cornell_scene()
     cam = cornell_camera()
-    key = jax.random.PRNGKey(0)
-    g = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm)
-    jax.block_until_ready(g.render)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        g = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm)
-    jax.block_until_ready(g.render)
-    dt = (time.perf_counter() - t0) / repeats
+
+    def make_chain(n):
+        @jax.jit
+        def f(key):
+            def body(i, carry):
+                key, acc = carry
+                key, sub = jax.random.split(key)
+                g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cfg, params=rm)
+                return (jax.random.fold_in(key, jnp.int32(g.render[0, 0, 0])),
+                        acc + g.depth[0, 0])
+            _, acc = jax.lax.fori_loop(
+                0, n, body, (key, jnp.float32(0.0)))
+            return acc
+        return f
+
+    dt = _chain_time(make_chain, jax.random.PRNGKey(0), n_lo=2, n_hi=8)
     return H * W / dt / 1e6, dt
 
 
@@ -207,16 +221,21 @@ def main():
     ap.add_argument("--config", default="fwd_bwd_1080p",
                     choices=["fwd_bwd_1080p", "fwd_1080p", "raymarch_1080p",
                              "fwd_bwd_1080p_ref", "pipeline_1080p"])
+    ap.add_argument("--precision", default="bf16", choices=["f32", "bf16"],
+                    help="Pallas kernel staging/tap-math precision "
+                         "(bf16 quality: tools/quality_eval.py)")
     ap.add_argument("--repeats", type=int, default=20)
     ap.add_argument("--csv", default=None, help="append timings to CSV")
     args = ap.parse_args()
 
     if args.config == "fwd_bwd_1080p":
-        value, dt = bench_svgf_fwd_bwd(repeats=args.repeats)
-        metric = "SVGF fwd+bwd 5-iter 1080p (pallas)"
+        value, dt = bench_svgf_fwd_bwd(repeats=args.repeats,
+                                       precision=args.precision)
+        metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision})"
     elif args.config == "fwd_1080p":
-        value, dt = bench_svgf_fwd(repeats=args.repeats)
-        metric = "SVGF fwd 5-iter 1080p (pallas)"
+        value, dt = bench_svgf_fwd(repeats=args.repeats,
+                                   precision=args.precision)
+        metric = f"SVGF fwd 5-iter 1080p (pallas {args.precision})"
     elif args.config == "fwd_bwd_1080p_ref":
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats, impl="reference")
         metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"

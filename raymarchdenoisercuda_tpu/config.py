@@ -41,13 +41,15 @@ class FilterParams:
 
     Field-for-field superset of the reference ``FilterParams``
     (``include/filter.cuh:11-23``): ``type/depth/radius/sigma*`` keep their
-    meaning; ``level`` (unused there) is the explicit à-trous level for
-    single-level application; ``cacheInput/cacheBuffer`` have no TPU analogue
+    meaning; ``level`` (declared but unused there, filter.cuh:14) is the
+    starting à-trous level — WAVELET applies levels ``level .. level+depth-1``
+    with tap spacing ``2^i``; ``cacheInput/cacheBuffer`` have no TPU analogue
     (VMEM staging is always on in the Pallas kernels) and are dropped.
     """
 
     type: FilterType = FilterType.AVERAGE
     depth: int = 1            # number of iterated filter levels (à-trous iterations)
+    level: int = 0            # starting à-trous level (dilation 2^level); WAVELET only
     radius: int = 2           # tap radius; (2r+1)^2 footprint at level 0
     sigma_space: float = 2.0  # gaussian spatial sigma (GAUSSIAN/CROSS)
     sigma_color: float = 4.0  # SVGF sigma_l (luminance edge-stopping)
@@ -60,6 +62,8 @@ class FilterParams:
             raise ValueError(f"depth must be >= 1, got {self.depth}")
         if self.radius < 0:
             raise ValueError(f"radius must be >= 0, got {self.radius}")
+        if self.level < 0:
+            raise ValueError(f"level must be >= 0, got {self.level}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,6 +113,10 @@ def apply_filter(
     (``filterKernelBaseline(GBuffer, FilterParams)``, filter.cuh:25).
     """
     t = params.type
+    if params.level != 0 and t != FilterType.WAVELET:
+        raise ValueError(
+            f"FilterParams.level={params.level} is only meaningful for "
+            f"WAVELET (à-trous dilation); got type={t}")
     if t == FilterType.AVERAGE:
         if impl == "pallas":
             from .pallas.box_tpu import box_filter_pallas
@@ -136,13 +140,23 @@ def apply_filter(
             sigma_depth=params.sigma_depth,
         )
         var = variance if variance is not None else jnp.ones_like(gbuf.depth)
-        if impl == "pallas":
-            from .pallas.atrous_tpu import svgf_spatial_pallas
-            out, _ = svgf_spatial_pallas(gbuf.render, var, gbuf.normal,
-                                         gbuf.depth, params=sp)
+        if params.level == 0:
+            if impl == "pallas":
+                from .pallas.atrous_tpu import svgf_spatial_pallas
+                out, _ = svgf_spatial_pallas(gbuf.render, var, gbuf.normal,
+                                             gbuf.depth, params=sp)
+            else:
+                out, _ = svgf_spatial_ref(gbuf.render, var, gbuf.normal,
+                                          gbuf.depth, params=sp)
         else:
-            out, _ = svgf_spatial_ref(gbuf.render, var, gbuf.normal,
-                                      gbuf.depth, params=sp)
+            # starting level offset (reference FilterParams.level,
+            # filter.cuh:14): apply levels [level, level+depth)
+            from .atrous import atrous_level_ref
+            c, v = gbuf.render, var
+            for i in range(params.depth):
+                c, v = atrous_level_ref(c, v, gbuf.normal, gbuf.depth,
+                                        level=params.level + i, params=sp)
+            out = c
     else:  # pragma: no cover
         raise ValueError(f"unknown filter type {t}")
     return gbuf.replace(denoised=out)

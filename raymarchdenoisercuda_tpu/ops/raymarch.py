@@ -144,8 +144,8 @@ def camera_rays(camera: Camera, cfg: CameraParams):
     return camera_rays_window(camera, cfg, 0, 0, cfg.height, cfg.width)
 
 
-def raymarch(scene: Scene, ro: jax.Array, rd: jax.Array,
-             params: RaymarchParams) -> Tuple[jax.Array, jax.Array]:
+def _raymarch_loop(scene: Scene, ro: jax.Array, rd: jax.Array,
+                   params: RaymarchParams) -> Tuple[jax.Array, jax.Array]:
     """Sphere-trace all rays in lock-step; returns (t, hit_mask)."""
     shape = ro.shape[1:]
 
@@ -160,6 +160,58 @@ def raymarch(scene: Scene, ro: jax.Array, rd: jax.Array,
     d_final, _ = sdf_scene(scene, ro + t[None] * rd)
     hit = (d_final <= params.hit_eps * 4.0) & (t < params.max_dist)
     return t, hit
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def raymarch(scene: Scene, ro: jax.Array, rd: jax.Array,
+             params: RaymarchParams) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable sphere-trace with an implicit-function adjoint.
+
+    Forward: the lock-step march (:func:`_raymarch_loop`).  Backward: instead
+    of autodiff through ``max_steps`` loop iterations (which stores a
+    residual per step), the hit distance is differentiated implicitly: at a
+    hit, ``f(θ, ro + t·rd) = const``, so
+
+        dt = -(f_θ·dθ + ∇f·d_ro + t·∇f·d_rd) / (∇f·rd)
+
+    — one SDF evaluation at the hit point replaces the whole unrolled march
+    (SURVEY.md §7 hard part (b)).  Misses and escaped rays get zero gradient
+    (their t is not a smooth function of the scene), and the denominator is
+    magnitude-clamped: grazing rays genuinely have exploding dt/dθ.
+    """
+    return _raymarch_loop(scene, ro, rd, params)
+
+
+def _raymarch_fwd(scene, ro, rd, params):
+    t, hit = _raymarch_loop(scene, ro, rd, params)
+    return (t, hit), (scene, ro, rd, t, hit)
+
+
+def _raymarch_bwd(params, res, cot):
+    scene, ro, rd, t, hit = res
+    g_t, _g_hit = cot  # hit is boolean: no cotangent
+
+    p = ro + t[None] * rd
+
+    def f(sc, pp):
+        return sdf_scene(sc, pp)[0]
+
+    # ∂f/∂t = ∇f · rd via one forward-mode directional derivative
+    denom = jax.jvp(lambda pp: f(scene, pp), (p,), (rd,))[1]
+    # hits enter surfaces: denom < 0; clamp magnitude (sign-preserving)
+    # for grazing rays
+    safe = jnp.where(jnp.abs(denom) < 1e-2,
+                     jnp.where(denom < 0, -1e-2, 1e-2), denom)
+    s = jnp.where(hit, -g_t / safe, 0.0)
+
+    _, vjp_fn = jax.vjp(f, scene, p)
+    d_scene, grad_p_s = vjp_fn(s)     # f_θᵀs  and  (∇f)ᵀs
+    d_ro = grad_p_s
+    d_rd = t[None] * grad_p_s
+    return d_scene, d_ro, d_rd
+
+
+raymarch.defvjp(_raymarch_fwd, _raymarch_bwd)
 
 
 def _shadow_factor(scene: Scene, p: jax.Array, n: jax.Array, light_p: jax.Array,
@@ -185,7 +237,10 @@ def _shadow_factor(scene: Scene, p: jax.Array, n: jax.Array, light_p: jax.Array,
     t = jax.lax.fori_loop(
         0, params.shadow_steps, body, jnp.zeros(p.shape[1:], p.dtype)
     )
-    return (t >= dist_l - 0.03).astype(p.dtype)
+    # visibility is piecewise-constant in the scene params (a.e. zero
+    # gradient); stop_gradient keeps autodiff from storing a residual per
+    # shadow step for a gradient that is identically zero
+    return jax.lax.stop_gradient((t >= dist_l - 0.03).astype(p.dtype))
 
 
 def sample_light(scene: Scene, key: jax.Array, shape) -> jax.Array:

@@ -132,36 +132,53 @@ def bilinear_shift_sample_many(planes, motion: jax.Array, max_motion: int):
 
 
 def _neighborhood_minmax(color: jax.Array, radius: int = 1):
-    """Per-pixel min/max of color over a (2r+1)^2 window (for history clamp)."""
-    cmin = color
-    cmax = color
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            if dy == 0 and dx == 0:
+    """Per-pixel min/max of color over a (2r+1)^2 window (for history clamp).
+
+    Separable (min/max commute with the product window): rows then cols,
+    2·(2r+1) passes instead of (2r+1)²; out-of-image taps are dropped by
+    ±inf substitution per 1-D pass.
+    """
+    H, W = color.shape[-2], color.shape[-1]
+
+    def one_axis(lo, hi, axis_is_y):
+        olo, ohi = lo, hi
+        for d in range(-radius, radius + 1):
+            if d == 0:
                 continue
-            s = shift2d(color, dy, dx)
-            m = valid_mask(color.shape[-2], color.shape[-1], dy, dx, color.dtype)
-            big = jnp.where(m > 0, s, jnp.inf)
-            small = jnp.where(m > 0, s, -jnp.inf)
-            cmin = jnp.minimum(cmin, big)
-            cmax = jnp.maximum(cmax, small)
-    return cmin, cmax
+            dy, dx = (d, 0) if axis_is_y else (0, d)
+            m = valid_mask(H, W, dy, dx, color.dtype) > 0
+            olo = jnp.minimum(olo, jnp.where(m, shift2d(lo, dy, dx), jnp.inf))
+            ohi = jnp.maximum(ohi, jnp.where(m, shift2d(hi, dy, dx), -jnp.inf))
+        return olo, ohi
+
+    cmin, cmax = one_axis(color, color, True)
+    return one_axis(cmin, cmax, False)
 
 
 def spatial_moments(lum: jax.Array, radius: int = 3) -> Tuple[jax.Array, jax.Array]:
-    """Spatial (E[l], E[l^2]) over a (2r+1)^2 window, border-renormalized."""
+    """Spatial (E[l], E[l^2]) over a (2r+1)^2 window, border-renormalized.
+
+    Separable: the numerators are plain window sums (zero-fill shifts drop
+    out-of-image taps), the valid-tap count factors into an outer product of
+    1-D counts — 2·(2·(2r+1)) passes instead of 3·(2r+1)².
+    """
     H, W = lum.shape
-    m1 = jnp.zeros_like(lum)
-    m2 = jnp.zeros_like(lum)
-    cnt = jnp.zeros_like(lum)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            m = valid_mask(H, W, dy, dx, lum.dtype)
-            l = shift2d(lum, dy, dx)
-            m1 = m1 + m * l
-            m2 = m2 + m * l * l
-            cnt = cnt + m
-    return m1 / cnt, m2 / cnt
+
+    def winsum(x):
+        rows = x
+        for d in range(1, radius + 1):
+            rows = rows + shift2d(x, d, 0) + shift2d(x, -d, 0)
+        out = rows
+        for d in range(1, radius + 1):
+            out = out + shift2d(rows, 0, d) + shift2d(rows, 0, -d)
+        return out
+
+    iy = jnp.arange(H, dtype=lum.dtype)[:, None]
+    ix = jnp.arange(W, dtype=lum.dtype)[None, :]
+    cy = jnp.minimum(iy, radius) + jnp.minimum(H - 1 - iy, radius) + 1.0
+    cx = jnp.minimum(ix, radius) + jnp.minimum(W - 1 - ix, radius) + 1.0
+    inv_cnt = 1.0 / (cy * cx)
+    return winsum(lum) * inv_cnt, winsum(lum * lum) * inv_cnt
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -201,55 +201,84 @@ def _bilinear_gather_padded(plane_p, ys, xs, mh):
 
 
 def _neighborhood_minmax_local(color, ry, cx, Hg, Wg):
+    """Separable per-pixel 3x3 min/max on halo-padded tiles (rows then cols;
+    out-of-image taps dropped by ±inf substitution — the validity mask
+    factors into per-row × per-col global-coordinate tests)."""
     cp = exchange_halo2d(color, 1)
     th, tw = color.shape[-2:]
     gy, gx = _global_iota(ry, cx, th, tw)
-    cmin, cmax = color, color
+
+    rmin = jnp.full_like(cp[..., :th, :], jnp.inf)
+    rmax = jnp.full_like(cp[..., :th, :], -jnp.inf)
     for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            m = ((gy + dy >= 0) & (gy + dy < Hg)
-                 & (gx + dx >= 0) & (gx + dx < Wg))
-            s = _rows_cols(cp, dy, dx, th, tw, 1)
-            cmin = jnp.minimum(cmin, jnp.where(m[None], s, jnp.inf))
-            cmax = jnp.maximum(cmax, jnp.where(m[None], s, -jnp.inf))
+        mrow = ((gy[:, :1] + dy >= 0) & (gy[:, :1] + dy < Hg))[None]
+        s = cp[..., 1 + dy:1 + dy + th, :]
+        rmin = jnp.minimum(rmin, jnp.where(mrow, s, jnp.inf))
+        rmax = jnp.maximum(rmax, jnp.where(mrow, s, -jnp.inf))
+    cmin = jnp.full_like(color, jnp.inf)
+    cmax = jnp.full_like(color, -jnp.inf)
+    for dx in (-1, 0, 1):
+        mcol = ((gx[:1] + dx >= 0) & (gx[:1] + dx < Wg))[None]
+        cmin = jnp.minimum(cmin, jnp.where(mcol, rmin[..., 1 + dx:1 + dx + tw],
+                                           jnp.inf))
+        cmax = jnp.maximum(cmax, jnp.where(mcol, rmax[..., 1 + dx:1 + dx + tw],
+                                           -jnp.inf))
     return cmin, cmax
 
 
 def _spatial_moments_local(lum, ry, cx, Hg, Wg, radius=3):
+    """Separable 7x7 moment window on halo-padded tiles: out-of-image taps
+    are zeros (halo exchange zero-fills), so the numerators are plain sums;
+    the valid-tap count is the outer product of 1-D global-coordinate
+    counts (mirror of ops.temporal.spatial_moments)."""
     lp = exchange_halo2d(lum, radius)
     th, tw = lum.shape
     gy, gx = _global_iota(ry, cx, th, tw)
-    m1 = jnp.zeros_like(lum)
-    m2 = jnp.zeros_like(lum)
-    cnt = jnp.zeros_like(lum)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            m = ((gy + dy >= 0) & (gy + dy < Hg)
-                 & (gx + dx >= 0) & (gx + dx < Wg)).astype(lum.dtype)
-            l = _rows_cols(lp, dy, dx, th, tw, radius) * m
-            m1 = m1 + l
-            m2 = m2 + l * l
-            cnt = cnt + m
-    return m1 / cnt, m2 / cnt
+
+    def winsum(xp):
+        rows = jnp.zeros((th, xp.shape[-1]), lum.dtype)
+        for d in range(-radius, radius + 1):
+            rows = rows + xp[radius + d:radius + d + th, :]
+        out = jnp.zeros((th, tw), lum.dtype)
+        for d in range(-radius, radius + 1):
+            out = out + rows[:, radius + d:radius + d + tw]
+        return out
+
+    gyf = gy.astype(lum.dtype)
+    gxf = gx.astype(lum.dtype)
+    cy = (jnp.minimum(gyf, float(radius))
+          + jnp.minimum(Hg - 1 - gyf, float(radius)) + 1.0)
+    cxn = (jnp.minimum(gxf, float(radius))
+           + jnp.minimum(Wg - 1 - gxf, float(radius)) + 1.0)
+    inv_cnt = 1.0 / (cy * cxn)
+    return winsum(lp) * inv_cnt, winsum(lp * lp) * inv_cnt
 
 
 def temporal_accumulate_local(
     gbuf: GBuffer, history: History, Hg: int, Wg: int,
-    *, params: SVGFParams, max_motion: int = 8,
+    *, params: SVGFParams,
 ):
     """Tile-local temporal step (mirror of ops.temporal.temporal_accumulate).
 
-    Reprojection reads history through an exchanged halo of ``max_motion``
-    pixels; motion beyond the halo is treated as a disocclusion (the history
-    is rejected), bounding ICI traffic per frame.
+    The disocclusion policy is shared with the single-device path:
+    ``params.max_motion`` is the single source of truth, accepted inclusively
+    (``|motion| <= max_motion``) in both.  Reprojection reads history through
+    an exchanged halo of ``max_motion + 1`` pixels (the +1 covers the bilinear
+    ceil tap); larger motion is treated as a disocclusion (history rejected),
+    bounding ICI traffic per frame.  Parity at boundary motions is tested in
+    tests/test_sharded.py.
     """
+    if params.max_motion is None:
+        raise ValueError(
+            "sharded temporal accumulation requires bounded motion "
+            "(SVGFParams.max_motion is None); unbounded gather-based "
+            "reprojection cannot be halo-exchanged")
     th, tw = gbuf.depth.shape
     ry, cx = tile_origin((th, tw))
     color = gbuf.render
     motion = gbuf.motion if gbuf.motion is not None else jnp.zeros((2, th, tw), color.dtype)
-    mh = max_motion
+    mm = params.max_motion
+    mh = mm + 1  # halo width: max accepted motion + bilinear ceil tap
 
     iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(color.dtype)
     ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(color.dtype)
@@ -259,7 +288,7 @@ def temporal_accumulate_local(
     gxs = xs + cx
 
     in_bounds = ((gys >= 0) & (gys <= Hg - 1) & (gxs >= 0) & (gxs <= Wg - 1)
-                 & (jnp.abs(motion[0]) <= mh - 1) & (jnp.abs(motion[1]) <= mh - 1))
+                 & (jnp.abs(motion[0]) <= mm) & (jnp.abs(motion[1]) <= mm))
 
     hc = exchange_halo2d(history.color, mh)
     hm = exchange_halo2d(history.moments, mh)

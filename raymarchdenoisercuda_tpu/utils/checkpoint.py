@@ -52,22 +52,32 @@ def restore(path: str, like: Any) -> Any:
 
 
 def save_orbax(path: str, tree: Any) -> None:
-    """Orbax variant (directory-based); falls back to .npz when unavailable."""
+    """Orbax variant (directory-based, async-capable).
+
+    Falls back to .npz only when orbax itself is not importable; real orbax
+    failures (bad path, serialization errors) propagate — silently degrading
+    a production checkpoint to a different on-disk format would corrupt
+    resume expectations.  Tested in tests/test_utils_cli.py.
+    """
     try:
         import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), tree, force=True)
-        ckptr.wait_until_finished()
-    except Exception:
+    except ImportError:
         save(path, tree)
+        return
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
 
 
 def restore_orbax(path: str, like: Any) -> Any:
+    """Restore an orbax checkpoint written by :func:`save_orbax`.
+
+    .npz fallback applies only when orbax is not importable (matching
+    :func:`save_orbax`'s write-side fallback).
+    """
     try:
         import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(path), like)
-    except Exception:
+    except ImportError:
         return restore(path, like)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like)

@@ -20,16 +20,37 @@ import jax
 
 
 class Timer:
-    """Wall-clock timer that syncs device work (block_until_ready)."""
+    """Wall-clock timer that syncs outstanding device work on exit.
+
+    Dispatch under jax is async: without a sync the timer would measure
+    enqueue time, not compute.  On ``__exit__`` the timer blocks on the
+    result registered via :meth:`sync`, or — if none was registered — on all
+    live jax arrays (which transitively covers any in-flight computation).
+
+    Note: through a remote-tunnel backend per-call sync still carries RPC
+    jitter; for benchmark-grade numbers use the chain-slope method
+    (bench.py ``_chain_time``), per ROADMAP.md measurement discipline.
+    """
 
     def __init__(self):
         self.ms = 0.0
+        self._out = None
+
+    def sync(self, out):
+        """Register the computation result to block on at exit; returns it."""
+        self._out = out
+        return out
 
     def __enter__(self):
         self._t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
+        if exc[0] is None:
+            if self._out is not None:
+                jax.block_until_ready(self._out)
+            else:
+                jax.block_until_ready(jax.live_arrays())
         self.ms = (time.perf_counter() - self._t0) * 1e3
         return False
 

@@ -112,3 +112,32 @@ def test_vjp_multilevel_parity(rng):
     g_w = jax.grad(loss_oracle)(color)
     g_g = jax.grad(loss_pallas)(color)
     np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w), rtol=2e-4, atol=1e-5)
+
+
+def test_bf16_mode_quality_and_gradients(rng):
+    """bf16 kernel mode (staged planes + tap math in bfloat16, f32
+    accumulators, exp-form normal weight): output within ~2% of the f32
+    oracle and gradient direction preserved.  Full quality characterization:
+    tools/quality_eval.py."""
+    color, variance, normal, depth = _scene(rng, 32, 64)
+    params = SVGFParams(iterations=3)
+
+    want, wv = svgf_spatial_ref(color, variance, normal, depth,
+                                params=params, detach_weights=True)
+    got, gv = svgf_spatial_pallas(color, variance, normal, depth,
+                                  params=params, interpret=True,
+                                  precision="bf16")
+    scale = float(np.abs(np.asarray(want)).max())
+    err = np.abs(np.asarray(got) - np.asarray(want)).max() / scale
+    assert err < 0.02, f"bf16 relative error {err:.4f} too large"
+
+    def loss(c, precision):
+        oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params,
+                                    interpret=True, precision=precision)
+        return jnp.sum(oc ** 2)
+
+    g32 = np.asarray(jax.grad(lambda c: loss(c, "f32"))(color)).ravel()
+    g16 = np.asarray(jax.grad(lambda c: loss(c, "bf16"))(color)).ravel()
+    cos = float(np.dot(g32, g16)
+                / max(np.linalg.norm(g32) * np.linalg.norm(g16), 1e-30))
+    assert cos > 0.995, f"bf16 gradient cosine {cos:.5f}"

@@ -83,3 +83,43 @@ def test_apply_filter_dispatch(rng, ftype):
     assert np.isfinite(d).all()
     # every filter must actually smooth an uncorrelated-noise image
     assert d.std() < np.asarray(g.render).std()
+
+
+def test_filter_level_offsets_atrous_start(rng):
+    """FilterParams.level (reference filter.cuh:14, unused there) starts the
+    à-trous dilation at 2^level: level=1/depth=1 equals a direct level-1
+    atrous application, and differs from level=0."""
+    from raymarchdenoisercuda_tpu.config import FilterParams, FilterType, SVGFParams
+    from raymarchdenoisercuda_tpu.gbuffer import GBuffer
+    from raymarchdenoisercuda_tpu.ops.filters import apply_filter
+    from raymarchdenoisercuda_tpu.ops.atrous import atrous_level_ref
+
+    H = W = 32
+    color = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    var = jnp.full((H, W), 0.05)
+    g = GBuffer(render=color, albedo=jnp.full((3, H, W), 0.7),
+                normal=jnp.zeros((3, H, W)).at[2].set(1.0),
+                depth=jnp.full((H, W), 0.5))
+    p1 = FilterParams(type=FilterType.WAVELET, depth=1, level=1)
+    out1 = apply_filter(g, p1, variance=var)
+    sp = SVGFParams(iterations=1, radius=p1.radius,
+                    sigma_color=p1.sigma_color, sigma_normal=p1.sigma_normal,
+                    sigma_depth=p1.sigma_depth)
+    want, _ = atrous_level_ref(color, var, g.normal, g.depth, level=1, params=sp)
+    np.testing.assert_allclose(np.asarray(out1.denoised), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    out0 = apply_filter(g, FilterParams(type=FilterType.WAVELET, depth=1),
+                        variance=var)
+    assert np.abs(np.asarray(out0.denoised) - np.asarray(out1.denoised)).max() > 1e-4
+
+
+def test_filter_level_rejected_for_non_wavelet():
+    from raymarchdenoisercuda_tpu.config import FilterParams, FilterType
+    from raymarchdenoisercuda_tpu.gbuffer import GBuffer
+    from raymarchdenoisercuda_tpu.ops.filters import apply_filter
+
+    g = GBuffer(render=jnp.zeros((3, 8, 8)), albedo=jnp.zeros((3, 8, 8)),
+                normal=jnp.zeros((3, 8, 8)), depth=jnp.zeros((8, 8)))
+    with pytest.raises(ValueError, match="level"):
+        apply_filter(g, FilterParams(type=FilterType.AVERAGE, level=1))

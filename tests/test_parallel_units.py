@@ -93,3 +93,65 @@ def test_filters_wavelet_uses_variance(rng):
     hi = apply_filter(g, p, variance=jnp.full((H, W), 1.0))
     lo = apply_filter(g, p, variance=jnp.full((H, W), 1e-8))
     assert np.asarray(hi.denoised).std() < np.asarray(lo.denoised).std()
+
+
+def test_distributed_initialize_before_backend():
+    """initialize() must hand off to jax.distributed.initialize BEFORE any
+    backend-initializing call (jax.process_count() et al.) — on a real pod a
+    late jax.distributed.initialize raises (ADVICE round-1, medium).  Run in
+    a subprocess with a fresh, uninitialized jax."""
+    import subprocess
+    import sys
+
+    prog = r"""
+import jax
+from jax._src import xla_bridge
+
+calls = {}
+
+def fake_init(**kw):
+    calls["kw"] = kw
+    calls["backend_initialized_at_call"] = xla_bridge.backends_are_initialized()
+
+jax.distributed.initialize = fake_init
+
+from raymarchdenoisercuda_tpu.parallel import distributed
+distributed.initialize(coordinator_address="127.0.0.1:1", num_processes=1,
+                       process_id=0)
+assert calls, "jax.distributed.initialize was never called"
+assert calls["backend_initialized_at_call"] is False, (
+    "XLA backend was initialized before jax.distributed.initialize: %r" % calls)
+assert calls["kw"]["coordinator_address"] == "127.0.0.1:1"
+print("OK")
+"""
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=120,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
+
+
+def test_distributed_initialize_idempotent(monkeypatch):
+    """A process whose distributed client already exists must not re-init."""
+    from raymarchdenoisercuda_tpu.parallel import distributed
+
+    monkeypatch.setattr(distributed, "_distributed_client_active", lambda: True)
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    distributed.initialize(coordinator_address="127.0.0.1:1")
+    assert called == []
+
+
+def test_distributed_initialize_explicit_config_raises(monkeypatch):
+    """Explicit coordinator config + failing init must raise, not degrade."""
+    from raymarchdenoisercuda_tpu.parallel import distributed
+
+    monkeypatch.setattr(distributed, "_distributed_client_active", lambda: False)
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        distributed.initialize(coordinator_address="127.0.0.1:1")

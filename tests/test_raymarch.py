@@ -124,3 +124,81 @@ def test_gradients_flow_to_materials(scene):
     assert np.isfinite(ga).all()
     # walls visible -> nonzero gradient for wall materials 0..2
     assert np.abs(ga[:3]).max() > 0
+
+
+def _sphere_interior_mask(scene):
+    """Pixels that hit the sphere away from its silhouette (frozen mask).
+
+    t is *discontinuous* across the silhouette (it jumps from the sphere to
+    the wall behind), so finite differences of an all-pixel loss measure the
+    silhouette jump, not the smooth dt/dθ the implicit adjoint computes.
+    Restricting the loss to interior sphere pixels (with the mask frozen
+    across the FD perturbations) makes it differentiable.
+    """
+    from raymarchdenoisercuda_tpu.ops.raymarch import raymarch, camera_rays
+
+    ro, rd, _ = camera_rays(cornell_camera(), CFG)
+    t, hit = raymarch(scene, ro, rd, RM)
+    p = ro + t[None] * rd
+    _, mat = sdf_scene(scene, p)
+    on_sphere = np.asarray((mat == 4) & hit)
+    # erode: keep pixels whose full 8-neighborhood is also on the sphere
+    interior = on_sphere.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            interior &= np.roll(np.roll(on_sphere, dy, 0), dx, 1)
+    assert interior.sum() > 20, "sphere should cover interior pixels"
+    return jnp.asarray(interior), ro, rd
+
+
+def test_implicit_vjp_matches_finite_differences(scene):
+    """Geometry gradients via the implicit-function adjoint (dt*/dθ =
+    -f_θ/(∇f·rd)) agree with central finite differences of the march
+    (SURVEY.md §7(b); VERDICT round-1 next-step #2)."""
+    from raymarchdenoisercuda_tpu.ops.raymarch import raymarch
+
+    mask, ro, rd = _sphere_interior_mask(scene)
+
+    def loss_at(radius):
+        s = scene.replace(
+            sphere_params=scene.sphere_params.at[0, 3].set(radius))
+        t, _hit = raymarch(s, ro, rd, RM)
+        return jnp.sum(jnp.where(mask, t, 0.0))
+
+    r0 = scene.sphere_params[0, 3]
+    g = jax.grad(loss_at)(r0)
+    eps = 1e-3
+    fd = (loss_at(r0 + eps) - loss_at(r0 - eps)) / (2 * eps)
+    # growing the sphere shortens the masked rays
+    assert float(g) < 0
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.05)
+
+
+def test_implicit_vjp_center_translation_gradient(scene):
+    from raymarchdenoisercuda_tpu.ops.raymarch import raymarch
+
+    mask, ro, rd = _sphere_interior_mask(scene)
+
+    def loss_at(cz):
+        s = scene.replace(
+            sphere_params=scene.sphere_params.at[0, 2].set(cz))
+        t, _hit = raymarch(s, ro, rd, RM)
+        return jnp.sum(jnp.where(mask, t, 0.0))
+
+    c0 = scene.sphere_params[0, 2]
+    g = jax.grad(loss_at)(c0)
+    eps = 1e-3
+    fd = (loss_at(c0 + eps) - loss_at(c0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.05)
+
+
+def test_implicit_vjp_forward_unchanged(scene):
+    """custom_vjp must not change the primal march results."""
+    from raymarchdenoisercuda_tpu.ops.raymarch import (
+        raymarch, _raymarch_loop, camera_rays)
+
+    ro, rd, _ = camera_rays(cornell_camera(), CFG)
+    t1, h1 = raymarch(scene, ro, rd, RM)
+    t2, h2 = _raymarch_loop(scene, ro, rd, RM)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))

