@@ -161,7 +161,7 @@ def bench_raymarch(H=1080, W=1920, repeats=5):
     return H * W / dt / 1e6, dt
 
 
-def bench_pipeline(H=1080, W=1920, iterations=5, spp=1):
+def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32"):
     """BASELINE config 3: fused raymarch + G-buffer -> temporal -> SVGF per
     frame (fwd path, animated camera), measured as a frame chain (the
     temporal history is the natural dependency)."""
@@ -178,7 +178,9 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1):
     scene = cornell_scene()
     cam = cornell_camera()
     platform = jax.devices()[0].platform
-    impl = "pallas" if platform in ("tpu", "axon") else "reference"
+    on_tpu = platform in ("tpu", "axon")
+    impl = "pallas" if on_tpu else "reference"
+    rm_impl = "pallas" if on_tpu else "jnp"
 
     def make_chain(n):
         @jax.jit
@@ -189,8 +191,9 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1):
                 hist, key = carry
                 key, sub = jax.random.split(key)
                 g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
-                                   params=rm, spp=spp)
-                out, hist = svgf_denoise_frame(g, hist, params=svgf, impl=impl)
+                                   params=rm, spp=spp, impl=rm_impl)
+                out, hist = svgf_denoise_frame(g, hist, params=svgf, impl=impl,
+                                               precision=precision)
                 return (hist, key)
 
             hist, _ = jax.lax.fori_loop(0, n, body, (hist, key))
@@ -221,9 +224,15 @@ def main():
     ap.add_argument("--config", default="fwd_bwd_1080p",
                     choices=["fwd_bwd_1080p", "fwd_1080p", "raymarch_1080p",
                              "fwd_bwd_1080p_ref", "pipeline_1080p"])
-    ap.add_argument("--precision", default="bf16", choices=["f32", "bf16"],
+    # NOTE: bf16 kernels are correct (interpret-mode parity + quality eval)
+    # but current Mosaic cannot compile them: tpu.dynamic_rotate is
+    # unimplemented for 16-bit data and width-changing pltpu.bitcast hangs
+    # the compiler (ROADMAP.md).  f32 stays the compiled default until the
+    # toolchain catches up.
+    ap.add_argument("--precision", default="f32", choices=["f32", "bf16"],
                     help="Pallas kernel staging/tap-math precision "
-                         "(bf16 quality: tools/quality_eval.py)")
+                         "(bf16 quality: tools/quality_eval.py; bf16 does "
+                         "not compile on current Mosaic — see ROADMAP.md)")
     ap.add_argument("--repeats", type=int, default=20)
     ap.add_argument("--csv", default=None, help="append timings to CSV")
     args = ap.parse_args()
@@ -240,8 +249,8 @@ def main():
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats, impl="reference")
         metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"
     elif args.config == "pipeline_1080p":
-        value, dt = bench_pipeline()
-        metric = "raymarch+temporal+SVGF frame 1080p"
+        value, dt = bench_pipeline(precision=args.precision)
+        metric = f"raymarch+temporal+SVGF frame 1080p ({args.precision})"
     else:
         value, dt = bench_raymarch(repeats=min(args.repeats, 5))
         metric = "raymarch+gbuffer 1080p"

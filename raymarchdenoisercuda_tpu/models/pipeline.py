@@ -21,7 +21,9 @@ from ..ops.raymarch import Scene, Camera, render_gbuffer
 from .svgf import svgf_denoise_frame
 
 
-@functools.partial(jax.jit, static_argnames=("cam_cfg", "rm_params", "svgf_params", "impl", "spp"))
+@functools.partial(jax.jit, static_argnames=("cam_cfg", "rm_params",
+                                              "svgf_params", "impl", "spp",
+                                              "precision"))
 def render_and_denoise(
     scene: Scene,
     camera: Camera,
@@ -34,11 +36,19 @@ def render_and_denoise(
     svgf_params: SVGFParams = SVGFParams(),
     impl: str = "reference",
     spp: int = 1,
+    precision: str = "f32",
 ) -> Tuple[GBuffer, History]:
-    """One frame of the full pipeline (render + denoise), differentiable."""
+    """One frame of the full pipeline (render + denoise), differentiable.
+
+    ``impl="pallas"`` selects the TPU kernels for BOTH stages (banded
+    early-exit march/shadow kernels + Pallas SVGF); ``precision="bf16"``
+    additionally stages the SVGF planes in bfloat16."""
+    rm_impl = "pallas" if impl == "pallas" else "jnp"
     gbuf = render_gbuffer(scene, camera, prev_camera, key,
-                          cam_cfg=cam_cfg, params=rm_params, spp=spp)
-    return svgf_denoise_frame(gbuf, history, params=svgf_params, impl=impl)
+                          cam_cfg=cam_cfg, params=rm_params, spp=spp,
+                          impl=rm_impl)
+    return svgf_denoise_frame(gbuf, history, params=svgf_params, impl=impl,
+                              precision=precision)
 
 
 class TrainState(NamedTuple):

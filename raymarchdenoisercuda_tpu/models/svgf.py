@@ -39,7 +39,8 @@ def remodulate(irradiance: jax.Array, albedo: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "detach_weights", "demodulate_albedo", "impl")
+    jax.jit, static_argnames=("params", "detach_weights", "demodulate_albedo",
+                              "impl", "precision")
 )
 def svgf_denoise_frame(
     gbuf: GBuffer,
@@ -49,6 +50,7 @@ def svgf_denoise_frame(
     detach_weights: bool = True,
     demodulate_albedo: bool = True,
     impl: str = "reference",
+    precision: str = "f32",
 ) -> Tuple[GBuffer, History]:
     """Denoise one frame with full SVGF; returns (gbuffer+denoised, new history).
 
@@ -68,7 +70,7 @@ def svgf_denoise_frame(
 
         filtered, _, feedback = svgf_spatial_pallas(
             integrated, variance, gbuf.normal, gbuf.depth,
-            params=params, return_feedback=True,
+            params=params, return_feedback=True, precision=precision,
         )
     else:
         filtered, _, feedback = svgf_spatial_ref(

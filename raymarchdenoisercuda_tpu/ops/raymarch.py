@@ -10,8 +10,9 @@ TPU design: all pixels march in lock-step inside a ``lax.fori_loop`` with a
 *static* step count and convergence masks — no data-dependent control flow,
 full (H, W)-vectorized math on the VPU.  MC noise in the "render" plane comes
 from jittered area-light samples (soft shadows), reproducing the 1-spp
-pathtrace noise the denoiser consumes.  The fused Pallas version lives in
-``ops/pallas/raymarch_tpu.py``.
+pathtrace noise the denoiser consumes.  The banded early-exit Pallas kernels
+for the two hot loops live in ``ops/pallas/raymarch_tpu.py`` and are selected
+with ``impl="pallas"`` on :func:`render_gbuffer`.
 
 Differentiability: materials (albedo, emission) and light are first-class
 differentiables; geometry gradients flow through the SDF march (pure
@@ -263,15 +264,29 @@ def render_gbuffer_window(
     cam_cfg: CameraParams = CameraParams(),
     params: RaymarchParams = RaymarchParams(),
     spp: int = 1,
+    impl: str = "jnp",
+    interpret: bool = False,
 ) -> GBuffer:
     """Fused raymarch + G-buffer pass over a pixel window (sharding-ready):
     one march, all planes emitted.  ``spp`` light samples average into the
     noisy render plane (1 = reference noise level; large spp approximates the
-    clean target).  row0/col0 may be traced (per-device tile origins)."""
+    clean target).  row0/col0 may be traced (per-device tile origins).
+
+    ``impl="pallas"`` routes the two hot loops (primary march, shadow march)
+    through the banded early-exit TPU kernels (ops/pallas/raymarch_tpu.py);
+    shading/normals/motion stay XLA (they are single evaluations), and
+    gradients are identical (both paths share the implicit-function VJP).
+    """
     ro, rd, _basis = camera_rays_window(camera, cam_cfg, row0, col0, th, tw)
-    t, hit = raymarch(scene, ro, rd, params)
-    p = ro + t[None] * rd
-    _, mat = sdf_scene(scene, p)
+    if impl == "pallas":
+        from .pallas.raymarch_tpu import raymarch_pallas_with_mat
+        t, hit, mat = raymarch_pallas_with_mat(scene, ro, rd, params,
+                                               interpret)
+        p = ro + t[None] * rd
+    else:
+        t, hit = raymarch(scene, ro, rd, params)
+        p = ro + t[None] * rd
+        _, mat = sdf_scene(scene, p)
     n = sdf_normal(scene, p, params.normal_eps)
     # flip normal toward the viewer (SDF gradient points outward)
     n = jnp.where(jnp.sum(n * rd, axis=0, keepdims=True) > 0, -n, n)
@@ -294,7 +309,12 @@ def render_gbuffer_window(
         light_n = _normalize(jnp.cross(scene.light_u, scene.light_v))
         cos_l = jnp.abs(light_n[0] * ld[0] + light_n[1] * ld[1]
                         + light_n[2] * ld[2])
-        vis = _shadow_factor(scene, p, n, lp, params)
+        if impl == "pallas":
+            from .pallas.raymarch_tpu import shadow_factor_pallas
+            vis = shadow_factor_pallas(scene, p, n, lp, params,
+                                       interpret=interpret)
+        else:
+            vis = _shadow_factor(scene, p, n, lp, params)
         area = 4.0 * jnp.linalg.norm(jnp.cross(scene.light_u, scene.light_v))
         geom = cos_s * cos_l * area / jnp.maximum(dist2, 1e-4)
         return scene.light_radiance[:, None, None] * (vis * geom)[None]
@@ -329,7 +349,8 @@ def render_gbuffer_window(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cam_cfg", "params", "spp"))
+@functools.partial(jax.jit, static_argnames=("cam_cfg", "params", "spp",
+                                              "impl", "interpret"))
 def render_gbuffer(
     scene: Scene,
     camera: Camera,
@@ -339,11 +360,15 @@ def render_gbuffer(
     cam_cfg: CameraParams = CameraParams(),
     params: RaymarchParams = RaymarchParams(),
     spp: int = 1,
+    impl: str = "jnp",
+    interpret: bool = False,
 ) -> GBuffer:
-    """Full-frame fused raymarch + G-buffer pass."""
+    """Full-frame fused raymarch + G-buffer pass (``impl="pallas"`` for the
+    TPU kernel path)."""
     return render_gbuffer_window(
         scene, camera, prev_camera, key, 0, 0, cam_cfg.height, cam_cfg.width,
-        cam_cfg=cam_cfg, params=params, spp=spp,
+        cam_cfg=cam_cfg, params=params, spp=spp, impl=impl,
+        interpret=interpret,
     )
 
 

@@ -202,3 +202,32 @@ def test_implicit_vjp_forward_unchanged(scene):
     t2, h2 = _raymarch_loop(scene, ro, rd, RM)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_pallas_march_parity_interpret(scene):
+    """Banded early-exit Pallas march kernels == jnp oracle (primal planes
+    and gradients; interpret mode).  VERDICT round-1 next-step #2."""
+    key = jax.random.PRNGKey(0)
+    a = render_gbuffer(scene, cornell_camera(), cornell_camera(), key,
+                       cam_cfg=CFG, params=RM)
+    b = render_gbuffer(scene, cornell_camera(), cornell_camera(), key,
+                       cam_cfg=CFG, params=RM, impl="pallas", interpret=True)
+    for name in ["render", "albedo", "normal", "depth", "motion"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            atol=5e-5, err_msg=name)
+
+
+def test_pallas_march_gradient_parity_interpret(scene):
+    key = jax.random.PRNGKey(0)
+
+    def loss(albedo, impl):
+        s = scene.replace(materials=scene.materials.replace(albedo=albedo))
+        g = render_gbuffer(s, cornell_camera(), None, key, cam_cfg=CFG,
+                           params=RM, impl=impl, interpret=(impl == "pallas"))
+        return jnp.mean(g.render ** 2)
+
+    g1 = jax.grad(lambda a: loss(a, "jnp"))(scene.materials.albedo)
+    g2 = jax.grad(lambda a: loss(a, "pallas"))(scene.materials.albedo)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-5, atol=1e-8)
