@@ -63,7 +63,16 @@ def svgf_denoise_frame(
     else:
         work = gbuf
 
-    integrated, variance, new_history = temporal_accumulate(work, history, params=params)
+    if impl == "pallas" and params.max_motion is not None:
+        # fused band kernel (bit-exact vs the jnp path; inference-only — for
+        # gradients through the temporal blend use impl="reference")
+        from ..ops.pallas.temporal_tpu import temporal_accumulate_pallas
+
+        integrated, variance, new_history = temporal_accumulate_pallas(
+            work, history, params=params)
+    else:
+        integrated, variance, new_history = temporal_accumulate(
+            work, history, params=params)
 
     if impl == "pallas":
         from ..ops.pallas.atrous_tpu import svgf_spatial_pallas

@@ -662,10 +662,10 @@ def atrous_level_bwd_pallas(
 # custom-VJP wrapper: the public differentiable op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def atrous_level(color, variance, normal, depth, zgrad, sigma_denom,
                  level: int, params: SVGFParams, interpret: bool = False,
-                 precision: str = "f32"):
+                 precision: str = "f32", weight_grads: bool = False):
     c, v, _ = atrous_level_fwd_pallas(
         color, variance, normal, depth, zgrad, sigma_denom,
         level=level, params=params, interpret=interpret, precision=precision,
@@ -724,7 +724,7 @@ def atrous_level_bwd_stored_pallas(
 
 
 def _atrous_fwd(color, variance, normal, depth, zgrad, sigma_denom,
-                level, params, interpret, precision):
+                level, params, interpret, precision, weight_grads):
     # Recompute-weights backward: measured FASTER than the stored-weight
     # variant (151.7 vs 125.3 Mpix/s fwd+bwd at 1080p) — the kernels are
     # movement-bound, and staging 25 stored weight planes costs more HBM/VMEM
@@ -734,12 +734,23 @@ def _atrous_fwd(color, variance, normal, depth, zgrad, sigma_denom,
         color, variance, normal, depth, zgrad, sigma_denom,
         level=level, params=params, interpret=interpret, precision=precision,
     )
-    return (c, v), (color, normal, depth, zgrad, sigma_denom, n)
+    if weight_grads:
+        res = (color, variance, normal, depth, zgrad, sigma_denom, c, v, n)
+    else:
+        res = (color, normal, depth, zgrad, sigma_denom, n)
+    return (c, v), res
 
 
-def _atrous_bwd(level, params, interpret, precision, res, g):
-    color, normal, depth, zgrad, sigma_denom, n = res
+def _atrous_bwd(level, params, interpret, precision, weight_grads, res, g):
     gc, gv = g
+    if weight_grads:
+        color, variance, normal, depth, zgrad, sigma_denom, oc, ov, n = res
+        return atrous_level_wgrad_bwd_pallas(
+            color, variance, normal, depth, zgrad, sigma_denom,
+            oc, ov, n, gc, gv,
+            level=level, params=params, interpret=interpret,
+        )
+    color, normal, depth, zgrad, sigma_denom, n = res
     dcol, dvar = atrous_level_bwd_pallas(
         color, normal, depth, zgrad, sigma_denom, n, gc, gv,
         level=level, params=params, interpret=interpret, precision=precision,
@@ -752,11 +763,13 @@ atrous_level.defvjp(_atrous_fwd, _atrous_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "return_feedback",
-                                              "interpret", "precision"))
+                                              "interpret", "precision",
+                                              "weight_grads"))
 def svgf_spatial_pallas(
     color, variance, normal, depth,
     *, params: SVGFParams = SVGFParams(), return_feedback: bool = False,
     interpret: bool = False, precision: str = "f32",
+    weight_grads: bool = False,
 ):
     """Full multi-level à-trous sweep on TPU (drop-in for ``svgf_spatial_ref``
     with ``detach_weights=True``).
@@ -764,18 +777,451 @@ def svgf_spatial_pallas(
     ``precision="bf16"`` runs the kernels' staged planes and tap math in
     bfloat16 with f32 accumulators — ~half the VPU byte movement for a
     quality loss characterized in tools/quality_eval.py.
+
+    ``weight_grads=True`` selects the full non-detached adjoint
+    (``detach_weights=False`` semantics): gradients flow through the
+    edge-stopping weights into the guidance planes, and the per-level
+    sigma denominator keeps its dependence on the filtered variance so
+    XLA backpropagates the blur/sqrt chain into d_variance.
     """
     zgrad = finite_diff_gradients(depth)
     c, v = color, variance
     feedback = color
     for lvl in range(params.iterations):
+        v_for_sigma = v if weight_grads else jax.lax.stop_gradient(v)
         sigma_denom = params.sigma_color * jnp.sqrt(
-            jnp.maximum(variance_blur3x3(jax.lax.stop_gradient(v)), 0.0)
+            jnp.maximum(variance_blur3x3(v_for_sigma), 0.0)
         ) + _EPS
         c, v = atrous_level(c, v, normal, depth, zgrad, sigma_denom,
-                            lvl, params, interpret, precision)
+                            lvl, params, interpret, precision, weight_grads)
         if lvl + 1 == params.feedback_level:
             feedback = c
     if return_feedback:
         return c, v, feedback
     return c, v
+
+
+# ---------------------------------------------------------------------------
+# weight-gradient backward (detach_weights=False): gradients through the
+# edge-stopping weights themselves (SURVEY.md §7 hard part (a), second term)
+# ---------------------------------------------------------------------------
+#
+# With A_p(d) := ∂L/∂w_p(d) expanded from the normalized filter
+#     out_c = Σ w c_q / N,  out_v = Σ w² v_q / N²,
+#     A_p(d) = gc_p·(c_q − out_c_p)/N_p + gv_p·(2 w v_q/N_p² − 2 out_v_p/N_p),
+# every input θ receives Σ A·∂w/∂θ in two spatial shapes: a CENTER term
+# (θ at p, summed over p's own taps — forward-shaped stencil) and a NEIGHBOR
+# term (θ at q = p+d, transformed to a gather at x with p = x−d — the same
+# transposed shape as the detached adjoint).  The log-derivatives of
+#     w = h·m·exp(−|Δz|·RZ − |Δl|·SD)·(n_p·n_q)^σ,
+#     RZ = 1/(σ_z|∇z_p·d| + ε),  SD = 1/sden_p
+# give the per-θ factors implemented below.  Data-linear terms (the detached
+# transposed stencil for c and v) ride along in the neighbor kernel, so the
+# wgrad mode REPLACES atrous_level_bwd_pallas rather than adding to it.
+
+
+def _wgrad_tap_math(params, z_a, z_b, l_a, l_b, n_a, n_b, isd_a, zg_a,
+                    oy, ox, hfm):
+    """Weight + log-derivative factors for center a, neighbor b, tap (oy,ox).
+
+    Returns (w, dz_sign_term, dl_sign_term, ndot) where the *_sign_term are
+    ∂E/∂(z_a,l_a) = −sign(Δ)·scale (negate for the b side), plus RZ for the
+    zgrad chain.  Natural exp units (no log2e folding) for clarity."""
+    sz = params.sigma_depth
+    az = jnp.abs(zg_a[0] * oy + zg_a[1] * ox)
+    rz = _recip(sz * az + _EPS)
+    dz = z_a - z_b
+    dl = l_a - l_b
+    e = -jnp.abs(dz) * rz - jnp.abs(dl) * isd_a
+    ndot = jnp.maximum(n_a[0] * n_b[0] + n_a[1] * n_b[1] + n_a[2] * n_b[2],
+                       0.0)
+    p = params.sigma_normal
+    ip = int(p)
+    if ip == p and ip > 0 and (ip & (ip - 1)) == 0 and ip <= 1024:
+        pw = ndot
+        while ip > 1:
+            pw = pw * pw
+            ip >>= 1
+    else:
+        pw = jnp.power(jnp.maximum(ndot, 1e-20), p)
+    w = hfm * _exp_fast(e) * pw
+    return w, dz, dl, rz, ndot
+
+
+def _make_wgrad_center_kernel(H, W, TH, halo_pad, spacing, params, Wp):
+    """Center terms: for each pixel x, Σ over its own taps e of
+    A_x(e)·∂w_x(e)/∂θ_x for θ ∈ {normal, depth, zgrad, sden, lum}."""
+    r = params.radius
+    taps1d = _spline_taps(r)
+    C = halo_pad
+    BLK = TH + 2 * halo_pad
+    n_hbm = 4  # c, v, n, z staged with halo
+
+    def kernel(c_hbm, v_hbm, n_hbm_ref, z_hbm,
+               gc_ref, gv_ref, outc_ref, outv_ref, nrm_ref, isd_ref, zg_ref,
+               dn_ref, dz_ref, dzg_ref, dsd_ref, dl_ref,
+               c_s, v_s, n_s, z_s, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+        hbm = (c_hbm, v_hbm, n_hbm_ref, z_hbm)
+        scratch = (c_s, v_s, n_s, z_s)
+
+        def make_copies(slot, band):
+            row0 = pl.multiple_of(band * TH, 8)
+            cps = []
+            for i, (src, dst) in enumerate(zip(hbm, scratch)):
+                if src.ndim == 3:
+                    cps.append(pltpu.make_async_copy(
+                        src.at[:, pl.ds(row0, BLK), :], dst.at[slot],
+                        sems.at[slot, i]))
+                else:
+                    cps.append(pltpu.make_async_copy(
+                        src.at[pl.ds(row0, BLK), :], dst.at[slot],
+                        sems.at[slot, i]))
+            return cps
+
+        slot = jax.lax.rem(b, 2)
+        nslot = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _():
+            for cp in make_copies(0, 0):
+                cp.start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            for cp in make_copies(nslot, b + 1):
+                cp.start()
+
+        for cp in make_copies(slot, b):
+            cp.wait()
+
+        c_t, v_t, n_t, z_t = (s[slot] for s in scratch)
+        lum_t = (_LUMA[0] * c_t[0] + _LUMA[1] * c_t[1] + _LUMA[2] * c_t[2])
+
+        gc = gc_ref[:]
+        gv = gv_ref[:]
+        outc = outc_ref[:]
+        outv = outv_ref[:]
+        inv_n = _recip(jnp.maximum(nrm_ref[:], _EPS))
+        isd = isd_ref[:]          # 1/sden (natural units)
+        zg = zg_ref[:]
+
+        c_c = _rows(c_t, C, TH)
+        l_c = _rows(lum_t, C, TH)
+        n_c = _rows(n_t, C, TH)
+        z_c = _rows(z_t, C, TH)
+
+        gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+        row_m = {dy: ((gy + dy * spacing >= 0)
+                      & (gy + dy * spacing < H)).astype(jnp.float32)
+                 for dy in range(-r, r + 1)}
+        col_m = {dx: ((gx + dx * spacing >= 0)
+                      & (gx + dx * spacing < W)).astype(jnp.float32)
+                 for dx in range(-r, r + 1)}
+
+        dn = jnp.zeros((3, TH, Wp), jnp.float32)
+        dz_a = jnp.zeros((TH, Wp), jnp.float32)
+        dzg = jnp.zeros((2, TH, Wp), jnp.float32)
+        dsd = jnp.zeros((TH, Wp), jnp.float32)
+        dl = jnp.zeros((TH, Wp), jnp.float32)
+
+        _rolled = {}
+
+        def shifted(x, oy, ox):
+            key = (id(x), ox)
+            if key not in _rolled:
+                _rolled[key] = _col_roll(x, ox)
+            return _rows(_rolled[key], C + oy, TH)
+
+        sz = params.sigma_depth
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                oy, ox = dy * spacing, dx * spacing
+                hfm = (taps1d[dy + r] * taps1d[dx + r]) * (
+                    row_m[dy] * col_m[dx])
+                c_q = shifted(c_t, oy, ox)
+                v_q = shifted(v_t, oy, ox)
+                n_q = shifted(n_t, oy, ox)
+                z_q = shifted(z_t, oy, ox)
+                l_q = shifted(lum_t, oy, ox)
+
+                w, dz, dlt, rz, ndot = _wgrad_tap_math(
+                    params, z_c, z_q, l_c, l_q, n_c, n_q, isd, zg,
+                    oy, ox, hfm)
+
+                a = ((gc[0] * (c_q[0] - outc[0]) + gc[1] * (c_q[1] - outc[1])
+                      + gc[2] * (c_q[2] - outc[2]))
+                     + gv * (2.0 * w * v_q * inv_n - 2.0 * outv)) * inv_n
+                bfac = a * w
+
+                dz_a = dz_a - bfac * jnp.sign(dz) * rz
+                dl = dl - bfac * jnp.sign(dlt) * isd
+                dsd = dsd + bfac * jnp.abs(dlt) * (isd * isd)
+                zdot = zg[0] * oy + zg[1] * ox
+                gz_f = bfac * jnp.abs(dz) * (rz * rz) * sz * jnp.sign(zdot)
+                dzg = dzg + jnp.stack([gz_f * oy, gz_f * ox])
+                nf = bfac * params.sigma_normal * _recip(
+                    jnp.maximum(ndot, 1e-20))
+                dn = dn + nf[None] * n_q
+
+        dn_ref[:] = dn
+        dz_ref[:] = dz_a
+        dzg_ref[:] = dzg
+        dsd_ref[:] = dsd
+        dl_ref[:] = dl
+
+    return kernel
+
+
+def _make_wgrad_neighbor_kernel(H, W, TH, halo_pad, spacing, params, Wp):
+    """Neighbor terms at x (p = x−d): transposed data stencil (detached
+    adjoint) + Σ A_p(d)·∂w_p(d)/∂θ_x for θ ∈ {normal, depth, lum}."""
+    r = params.radius
+    taps1d = _spline_taps(r)
+    C = halo_pad
+    BLK = TH + 2 * halo_pad
+    # staged: lum, n(3), z, zg(2), isd, gc(3), gv, outc(3), outv, invn
+    plane_list = ("lum", "n", "z", "zg", "isd", "gc", "gv", "outc", "outv",
+                  "invn")
+
+    def kernel(lum_hbm, n_hbm, z_hbm, zg_hbm, isd_hbm, gc_hbm, gv_hbm,
+               outc_hbm, outv_hbm, invn_hbm,
+               c_ref, v_ref, n_c_ref, z_c_ref,
+               dc_ref, dv_ref, dn_ref, dz_ref, dl_ref,
+               lum_s, n_s, z_s, zg_s, isd_s, gc_s, gv_s, outc_s, outv_s,
+               invn_s, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+        hbm = (lum_hbm, n_hbm, z_hbm, zg_hbm, isd_hbm, gc_hbm, gv_hbm,
+               outc_hbm, outv_hbm, invn_hbm)
+        scratch = (lum_s, n_s, z_s, zg_s, isd_s, gc_s, gv_s, outc_s, outv_s,
+                   invn_s)
+
+        def make_copies(slot, band):
+            row0 = pl.multiple_of(band * TH, 8)
+            cps = []
+            for i, (src, dst) in enumerate(zip(hbm, scratch)):
+                if src.ndim == 3:
+                    cps.append(pltpu.make_async_copy(
+                        src.at[:, pl.ds(row0, BLK), :], dst.at[slot],
+                        sems.at[slot, i]))
+                else:
+                    cps.append(pltpu.make_async_copy(
+                        src.at[pl.ds(row0, BLK), :], dst.at[slot],
+                        sems.at[slot, i]))
+            return cps
+
+        slot = jax.lax.rem(b, 2)
+        nslot = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _():
+            for cp in make_copies(0, 0):
+                cp.start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            for cp in make_copies(nslot, b + 1):
+                cp.start()
+
+        for cp in make_copies(slot, b):
+            cp.wait()
+
+        (lum_t, n_t, z_t, zg_t, isd_t, gc_t, gv_t, outc_t, outv_t,
+         invn_t) = (s[slot] for s in scratch)
+
+        c_x = c_ref[:]       # (3, TH, Wp) current-level color at x
+        v_x = v_ref[:]
+        n_x = n_c_ref[:]
+        z_x = z_c_ref[:]
+        l_x = (_LUMA[0] * c_x[0] + _LUMA[1] * c_x[1] + _LUMA[2] * c_x[2])
+
+        gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+        in_img = (gy < H).astype(jnp.float32)
+        # masks for center p = x − d being in-image
+        row_m = {dy: ((gy - dy * spacing >= 0)
+                      & (gy - dy * spacing < H)).astype(jnp.float32) * in_img
+                 for dy in range(-r, r + 1)}
+        col_m = {dx: ((gx - dx * spacing >= 0)
+                      & (gx - dx * spacing < W)).astype(jnp.float32)
+                 for dx in range(-r, r + 1)}
+
+        dc = jnp.zeros((3, TH, Wp), jnp.float32)
+        dv = jnp.zeros((TH, Wp), jnp.float32)
+        dn = jnp.zeros((3, TH, Wp), jnp.float32)
+        dz_a = jnp.zeros((TH, Wp), jnp.float32)
+        dl = jnp.zeros((TH, Wp), jnp.float32)
+
+        _rolled = {}
+
+        def shifted(x, oy, ox):
+            key = (id(x), ox)
+            if key not in _rolled:
+                _rolled[key] = _col_roll(x, ox)
+            return _rows(_rolled[key], C + oy, TH)
+
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                # p = x − d
+                oy, ox = -dy * spacing, -dx * spacing
+                hfm = (taps1d[dy + r] * taps1d[dx + r]) * (
+                    row_m[dy] * col_m[dx])
+                l_p = shifted(lum_t, oy, ox)
+                n_p = shifted(n_t, oy, ox)
+                z_p = shifted(z_t, oy, ox)
+                zg_p = shifted(zg_t, oy, ox)
+                isd_p = shifted(isd_t, oy, ox)
+                gc_p = shifted(gc_t, oy, ox)
+                gv_p = shifted(gv_t, oy, ox)
+                outc_p = shifted(outc_t, oy, ox)
+                outv_p = shifted(outv_t, oy, ox)
+                invn_p = shifted(invn_t, oy, ox)
+
+                w, dz, dlt, rz, ndot = _wgrad_tap_math(
+                    params, z_p, z_x, l_p, l_x, n_p, n_x, isd_p, zg_p,
+                    dy * spacing, dx * spacing, hfm)
+
+                # transposed data stencil (the detached adjoint)
+                w_over_n = w * invn_p
+                dc = dc + w_over_n[None] * gc_p
+                dv = dv + (w_over_n * w_over_n) * gv_p
+
+                a = ((gc_p[0] * (c_x[0] - outc_p[0])
+                      + gc_p[1] * (c_x[1] - outc_p[1])
+                      + gc_p[2] * (c_x[2] - outc_p[2]))
+                     + gv_p * (2.0 * w * v_x * invn_p - 2.0 * outv_p)
+                     ) * invn_p
+                bfac = a * w
+
+                # θ at x is the *b side* of the tap: signs flip
+                dz_a = dz_a + bfac * jnp.sign(dz) * rz
+                dl = dl + bfac * jnp.sign(dlt) * isd_p
+                nf = bfac * params.sigma_normal * _recip(
+                    jnp.maximum(ndot, 1e-20))
+                dn = dn + nf[None] * n_p
+
+        dc_ref[:] = dc
+        dv_ref[:] = dv
+        dn_ref[:] = dn
+        dz_ref[:] = dz_a
+        dl_ref[:] = dl
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("level", "params", "interpret"))
+def atrous_level_wgrad_bwd_pallas(
+    color, variance, normal, depth, zgrad, sigma_denom,
+    out_c, out_v, norm, g_color, g_var,
+    *, level: int, params: SVGFParams, interpret: bool = False,
+):
+    """Full (non-detached) adjoint of one à-trous level.
+
+    Returns (d_color, d_variance, d_normal, d_depth, d_zgrad, d_sigma_denom)
+    matching jnp autodiff of ``atrous_level_ref(detach_weights=False)`` up to
+    the EPS clamp on the normalization (measure-zero).  Runs as two band
+    kernels: center terms + neighbor terms (see module comment).
+    """
+    H, W = depth.shape
+    Wp = _round_up(W, 128)
+    spacing = 1 << level
+    halo_pad = _round_up(params.radius * spacing, 8)
+    n_taps = (2 * params.radius + 1) ** 2
+    TH = _pick_tile_rows(H, Wp, halo_pad, n_haloed_planes=28,
+                         n_center_planes=22, n_temp_planes=6 * n_taps)
+    H_pad = _round_up(H, TH)
+    grid = H_pad // TH
+    BLK = TH + 2 * halo_pad
+
+    lum = (_LUMA[0] * color[0] + _LUMA[1] * color[1] + _LUMA[2] * color[2])
+    isd = 1.0 / jnp.maximum(sigma_denom, _EPS)
+    inv_n = 1.0 / jnp.maximum(norm, _EPS)
+
+    ck = _make_wgrad_center_kernel(H, W, TH, halo_pad, spacing, params, Wp)
+    dn1, dz1, dzg, dsd, dl1 = pl.pallas_call(
+        ck,
+        grid=(grid,),
+        in_specs=[_hbm_spec()] * 4 + [
+            _center_spec(3, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(3, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(None, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(2, TH, Wp)],
+        out_specs=(
+            _center_spec(3, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(2, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(None, TH, Wp)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32)),
+        scratch_shapes=_scratch_tiles((3, None, 3, None), BLK, Wp)
+        + [pltpu.SemaphoreType.DMA((2, 4))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(
+        _pad_rows_halo(color, H_pad, halo_pad, Wp),
+        _pad_rows_halo(variance, H_pad, halo_pad, Wp),
+        _pad_rows_halo(normal, H_pad, halo_pad, Wp),
+        _pad_rows_halo(depth, H_pad, halo_pad, Wp),
+        _pad_rows(g_color, H_pad, Wp),
+        _pad_rows(g_var, H_pad, Wp),
+        _pad_rows(out_c, H_pad, Wp),
+        _pad_rows(out_v, H_pad, Wp),
+        _pad_rows(norm, H_pad, Wp),
+        _pad_rows(isd, H_pad, Wp),
+        _pad_rows(zgrad, H_pad, Wp),
+    )
+
+    nk = _make_wgrad_neighbor_kernel(H, W, TH, halo_pad, spacing, params, Wp)
+    dc, dv, dn2, dz2, dl2 = pl.pallas_call(
+        nk,
+        grid=(grid,),
+        in_specs=[_hbm_spec()] * 10 + [
+            _center_spec(3, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(3, TH, Wp), _center_spec(None, TH, Wp)],
+        out_specs=(
+            _center_spec(3, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(3, TH, Wp), _center_spec(None, TH, Wp),
+            _center_spec(None, TH, Wp)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32)),
+        scratch_shapes=_scratch_tiles(
+            (None, 3, None, 2, None, 3, None, 3, None, None), BLK, Wp)
+        + [pltpu.SemaphoreType.DMA((2, 10))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(
+        _pad_rows_halo(lum, H_pad, halo_pad, Wp),
+        _pad_rows_halo(normal, H_pad, halo_pad, Wp),
+        _pad_rows_halo(depth, H_pad, halo_pad, Wp),
+        _pad_rows_halo(zgrad, H_pad, halo_pad, Wp),
+        _pad_rows_halo(isd, H_pad, halo_pad, Wp),
+        _pad_rows_halo(g_color, H_pad, halo_pad, Wp),
+        _pad_rows_halo(g_var, H_pad, halo_pad, Wp),
+        _pad_rows_halo(out_c, H_pad, halo_pad, Wp),
+        _pad_rows_halo(out_v, H_pad, halo_pad, Wp),
+        _pad_rows_halo(inv_n, H_pad, halo_pad, Wp),
+        _pad_rows(color, H_pad, Wp),
+        _pad_rows(variance, H_pad, Wp),
+        _pad_rows(normal, H_pad, Wp),
+        _pad_rows(depth, H_pad, Wp),
+    )
+
+    luma = jnp.asarray(_LUMA, jnp.float32)
+    d_lum = (dl1 + dl2)[:H, :W]
+    d_color = dc[:, :H, :W] + luma[:, None, None] * d_lum[None]
+    d_variance = dv[:H, :W]
+    d_normal = (dn1 + dn2)[:, :H, :W]
+    d_depth = (dz1 + dz2)[:H, :W]
+    d_zgrad = dzg[:, :H, :W]
+    d_sden = dsd[:H, :W]
+    return d_color, d_variance, d_normal, d_depth, d_zgrad, d_sden

@@ -1,0 +1,321 @@
+"""Pallas TPU kernel for SVGF temporal reprojection + accumulation.
+
+Realizes the reference's declared temporal pipeline ("Temporal accumulation
+to reduce flickering", reference README.md:8; the stream hook at
+gbuffer.h:32) as one fused band kernel, replacing four XLA passes
+(bounded-motion reprojection, history clamp, moment accumulation, spatial
+variance fallback) from ``ops/temporal.py``.
+
+The XLA reprojection is motion-oblivious: it evaluates all
+``(2M+2)²`` = 196 statically-shifted tent taps even though each pixel's
+bilinear sample touches only the 2×2 integer offsets bracketing its motion
+vector.  This kernel computes, per row band, the *actual* integer offset
+ranges ``[floor(min m), floor(max m)+1]`` present in the band (camera motion
+is smooth, so bands typically span 2-4 offsets per axis) and loops only over
+those with ``tpu.dynamic_rotate`` shifts — identical tent math, so results
+match ``temporal_accumulate`` exactly; only the wasted zero-weight taps are
+skipped.  Worst-case (motion spanning the full ±M range within one band) it
+degrades gracefully to the oracle's tap count.
+
+History planes are staged HBM→VMEM with a ``max_motion+1`` halo per band
+(double-buffered async DMA, like the à-trous kernels); the history clamp
+(separable 3×3 min/max) and the spatial-moment fallback (separable 7×7
+window) read the current render through an 8-row halo.
+
+Differentiability: this is the inference-path kernel; the differentiable
+path stays ``ops/temporal.py`` (pure jnp).  The models select per
+``impl=`` exactly as for the spatial kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import SVGFParams
+from ...gbuffer import GBuffer, History
+
+_LUMA = (0.2126, 0.7152, 0.0722)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _rows(x, o, size):
+    idx = [slice(None)] * x.ndim
+    idx[-2] = slice(o, o + size)
+    return x[tuple(idx)]
+
+
+def _make_kernel(H, W, TH, Wp, CH, CR, params: SVGFParams):
+    """CH: staged halo rows of the history stack; CR: of the render."""
+    M = params.max_motion
+    BLKH = TH + 2 * CH
+    BLKR = TH + 2 * CR
+
+    def kernel(hist_hbm, rend_hbm, motion_ref, depth_ref, normal_ref,
+               integ_ref, var_ref, mom_ref, len_ref,
+               hist_s, rend_s, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def make_copies(slot, band):
+            row0 = pl.multiple_of(band * TH, 8)
+            return [
+                pltpu.make_async_copy(hist_hbm.at[:, pl.ds(row0, BLKH), :],
+                                      hist_s.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(rend_hbm.at[:, pl.ds(row0, BLKR), :],
+                                      rend_s.at[slot], sems.at[slot, 1]),
+            ]
+
+        slot = jax.lax.rem(b, 2)
+        nslot = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _():
+            for cp in make_copies(0, 0):
+                cp.start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            for cp in make_copies(nslot, b + 1):
+                cp.start()
+
+        for cp in make_copies(slot, b):
+            cp.wait()
+
+        hist_t = hist_s[slot]   # (10, BLKH, Wp)
+        rend_t = rend_s[slot]   # (3, BLKR, Wp)
+        motion = motion_ref[:]  # (2, TH, Wp)
+        depth = depth_ref[:]
+        normal = normal_ref[:]
+
+        gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+        gyf = gy.astype(jnp.float32)
+        gxf = gx.astype(jnp.float32)
+
+        m0, m1 = motion[0], motion[1]
+        in_bounds = ((gyf + m0 >= 0) & (gyf + m0 <= H - 1)
+                     & (gxf + m1 >= 0) & (gxf + m1 <= W - 1)
+                     & (jnp.abs(m0) <= M) & (jnp.abs(m1) <= M))
+
+        # per-band integer offset ranges actually bracketed by the motion
+        m0c = jnp.clip(m0, -float(M), float(M))
+        m1c = jnp.clip(m1, -float(M), float(M))
+        dylo = jnp.floor(jnp.min(m0c)).astype(jnp.int32)
+        dyhi = jnp.floor(jnp.max(m0c)).astype(jnp.int32) + 1
+        dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
+        dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
+
+        def dy_body(carry):
+            dy, acc = carry
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(m0 - dy.astype(jnp.float32)))
+            # history rows y+dy -> rotate band so center rows align
+            band_y = pltpu.roll(hist_t, jnp.mod(-dy, BLKH), axis=1)
+            ctr = _rows(band_y, CH, TH)        # (10, TH, Wp)
+
+            def dx_body(carry2):
+                dx, acc2 = carry2
+                tx = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(m1 - dx.astype(jnp.float32)))
+                shifted = pltpu.roll(ctr, jnp.mod(-dx, ctr.shape[-1]),
+                                     axis=2)
+                acc2 = acc2 + (ty * tx)[None] * shifted
+                return dx + 1, acc2
+
+            _, acc = jax.lax.while_loop(
+                lambda c2: c2[0] <= dxhi, dx_body, (dxlo, acc))
+            return dy + 1, acc
+
+        acc0 = jnp.zeros((10, TH, Wp), jnp.float32)
+        _, gathered = jax.lax.while_loop(
+            lambda c: c[0] <= dyhi, dy_body, (dylo, acc0))
+
+        prev_color = gathered[0:3]
+        prev_moments = gathered[3:5]
+        prev_len = gathered[5]
+        prev_depth = gathered[6]
+        prev_normal = gathered[7:10]
+
+        depth_ok = jnp.abs(prev_depth - depth) <= 0.1 * jnp.maximum(
+            jnp.abs(depth), 1e-3)
+        ndot = (prev_normal[0] * normal[0] + prev_normal[1] * normal[1]
+                + prev_normal[2] * normal[2])
+        valid = in_bounds & depth_ok & (ndot > 0.8) & (prev_len > 0)
+
+        color = _rows(rend_t, CR, TH)          # (3, TH, Wp) current frame
+
+        if params.history_clamp:
+            # separable 3x3 min/max with global-border drop via +-inf
+            rmin = jnp.full((3, TH, Wp), jnp.inf)
+            rmax = jnp.full((3, TH, Wp), -jnp.inf)
+            for dy in (-1, 0, 1):
+                mrow = ((gy + dy >= 0) & (gy + dy < H))[None]
+                s = _rows(rend_t, CR + dy, TH)
+                rmin = jnp.minimum(rmin, jnp.where(mrow, s, jnp.inf))
+                rmax = jnp.maximum(rmax, jnp.where(mrow, s, -jnp.inf))
+            cmin = jnp.full((3, TH, Wp), jnp.inf)
+            cmax = jnp.full((3, TH, Wp), -jnp.inf)
+            for dx in (-1, 0, 1):
+                mcol = ((gx + dx >= 0) & (gx + dx < W))[None]
+                rl = pltpu.roll(rmin, (-dx) % Wp, axis=2)
+                rh = pltpu.roll(rmax, (-dx) % Wp, axis=2)
+                cmin = jnp.minimum(cmin, jnp.where(mcol, rl, jnp.inf))
+                cmax = jnp.maximum(cmax, jnp.where(mcol, rh, -jnp.inf))
+            prev_color = jnp.clip(prev_color, cmin, cmax)
+
+        n_prev = jnp.where(valid, prev_len, 0.0)
+        n_new = n_prev + 1.0
+        alpha = jnp.maximum(params.temporal_alpha, 1.0 / n_new)
+        alpha_m = jnp.maximum(params.temporal_moments_alpha, 1.0 / n_new)
+
+        integrated = jnp.where(
+            valid[None], (1 - alpha)[None] * prev_color + alpha[None] * color,
+            color)
+
+        lum = (_LUMA[0] * color[0] + _LUMA[1] * color[1]
+               + _LUMA[2] * color[2])
+        cur_m1, cur_m2 = lum, lum * lum
+        moments = jnp.stack([
+            jnp.where(valid, (1 - alpha_m) * prev_moments[0]
+                      + alpha_m * cur_m1, cur_m1),
+            jnp.where(valid, (1 - alpha_m) * prev_moments[1]
+                      + alpha_m * cur_m2, cur_m2),
+        ])
+
+        # spatial moment fallback: separable 7x7 window of the band's lum
+        r3 = 3
+        lum_band = (_LUMA[0] * rend_t[0] + _LUMA[1] * rend_t[1]
+                    + _LUMA[2] * rend_t[2])  # (BLKR, Wp); zeros off-image
+        lum2_band = lum_band * lum_band
+
+        def winsum(xb):
+            rows = _rows(xb, CR - r3, TH)
+            for d in range(-r3 + 1, r3 + 1):
+                rows = rows + _rows(xb, CR + d, TH)
+            out = rows
+            for d in range(-r3, r3 + 1):
+                if d == 0:
+                    continue
+                out = out + pltpu.roll(rows, (-d) % Wp, axis=1)
+            return out
+
+        cy = (jnp.minimum(gyf, float(r3))
+              + jnp.minimum(H - 1 - gyf, float(r3)) + 1.0)
+        cxn = (jnp.minimum(gxf, float(r3))
+               + jnp.minimum(W - 1 - gxf, float(r3)) + 1.0)
+        inv_cnt = 1.0 / (cy * cxn)
+        sm1 = winsum(lum_band) * inv_cnt
+        sm2 = winsum(lum2_band) * inv_cnt
+
+        var_temporal = jnp.maximum(moments[1] - moments[0] ** 2, 0.0)
+        var_spatial = jnp.maximum(sm2 - sm1 * sm1, 0.0)
+        variance = jnp.where(n_new < params.variance_boost_frames,
+                             var_spatial, var_temporal)
+
+        integ_ref[:] = integrated
+        var_ref[:] = variance
+        mom_ref[:] = moments
+        len_ref[:] = n_new
+
+    return kernel
+
+
+def _pad_rows_halo(x, H_pad, halo, Wp):
+    H, W = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(halo, H_pad - H + halo), (0, Wp - W)]
+    return jnp.pad(x, pad)
+
+
+def _pad2(x, H_pad, Wp):
+    H, W = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, H_pad - H), (0, Wp - W)]
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def temporal_accumulate_pallas(
+    gbuf: GBuffer,
+    history: History,
+    *,
+    params: SVGFParams = SVGFParams(),
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, History]:
+    """Fused temporal step on TPU; drop-in for
+    ``ops.temporal.temporal_accumulate`` (requires bounded motion)."""
+    if params.max_motion is None:
+        raise ValueError("temporal_accumulate_pallas requires "
+                         "SVGFParams.max_motion (bounded reprojection)")
+    H, W = gbuf.shape
+    Wp = _round_up(W, 128)
+    if Wp - W < params.max_motion + 2:
+        Wp += 128  # lane pad doubles as the zero-fill region for column taps
+    CH = _round_up(params.max_motion + 1, 8)
+    CR = 8
+    # TH=128 keeps the double-buffered 10-plane haloed history stack, the
+    # (10, TH, Wp) gather accumulator and the output blocks inside VMEM
+    TH = min(128, _round_up(H, 8))
+    H_pad = _round_up(H, TH)
+    grid = H_pad // TH
+    color = gbuf.render
+    motion = (gbuf.motion if gbuf.motion is not None
+              else jnp.zeros((2, H, W), color.dtype))
+
+    hist_stack = jnp.concatenate([
+        history.color, history.moments, history.length[None],
+        history.prev_depth[None], history.prev_normal,
+    ])  # (10, H, W)
+
+    kernel = _make_kernel(H, W, TH, Wp, CH, CR, params)
+
+    def cspec(n):
+        if n is None:
+            return pl.BlockSpec((TH, Wp), lambda b: (b, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((n, TH, Wp), lambda b: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+
+    integ, var, mom, length = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  cspec(2), cspec(None), cspec(3)],
+        out_specs=(cspec(3), cspec(None), cspec(2), cspec(None)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((2, H_pad, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, TH + 2 * CH, Wp), jnp.float32),
+            pltpu.VMEM((2, 3, TH + 2 * CR, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(
+        _pad_rows_halo(hist_stack, H_pad, CH, Wp),
+        _pad_rows_halo(color, H_pad, CR, Wp),
+        _pad2(motion, H_pad, Wp),
+        _pad2(gbuf.depth, H_pad, Wp),
+        _pad2(gbuf.normal, H_pad, Wp),
+    )
+
+    integ = integ[:, :H, :W]
+    new_history = History(
+        color=integ,
+        moments=mom[:, :H, :W],
+        length=length[:H, :W],
+        prev_depth=gbuf.depth,
+        prev_normal=gbuf.normal,
+    )
+    return integ, var[:H, :W], new_history

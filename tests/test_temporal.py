@@ -194,3 +194,44 @@ def test_sharded_temporal_unbounded_motion_raises(rng):
     with pytest.raises(ValueError, match="max_motion"):
         temporal_accumulate_local(g, hist, 16, 16,
                                   params=SVGFParams(max_motion=None))
+
+
+@pytest.mark.parametrize("mdesc,make_motion", [
+    ("zero", lambda H, W: jnp.zeros((2, H, W))),
+    ("uniform_frac", lambda H, W: jnp.zeros((2, H, W)).at[0].set(1.3).at[1].set(-2.7)),
+    ("varying", lambda H, W: jnp.stack([
+        jnp.linspace(-5.5, 5.5, H)[:, None] * jnp.ones((1, W)),
+        jnp.linspace(5.5, -5.5, W)[None, :] * jnp.ones((H, 1))])),
+    ("over_limit", lambda H, W: jnp.zeros((2, H, W)).at[0].set(7.2)),
+])
+def test_temporal_pallas_kernel_parity(rng, mdesc, make_motion):
+    """Fused Pallas temporal kernel (dynamic per-band offset ranges) is
+    bit-comparable to temporal_accumulate (interpret mode)."""
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        temporal_accumulate_pallas)
+
+    H, W = 48, 160
+    g = _gbuf(rng, H, W, motion=make_motion(H, W))
+    hist = _warm_history(g).replace(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)))
+    params = SVGFParams()
+
+    wi, wv, wh = temporal_accumulate(g, hist, params=params)
+    gi, gv, gh = temporal_accumulate_pallas(g, hist, params=params,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(wi), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gh.moments), np.asarray(wh.moments),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(gh.length),
+                                  np.asarray(wh.length))
+
+
+def test_temporal_pallas_requires_bounded_motion(rng):
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        temporal_accumulate_pallas)
+
+    g = _gbuf(rng, 16, 16)
+    with pytest.raises(ValueError, match="max_motion"):
+        temporal_accumulate_pallas(g, _warm_history(g),
+                                   params=SVGFParams(max_motion=None))
