@@ -38,6 +38,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -151,7 +152,7 @@ def _col_roll(x: jax.Array, ox: int) -> jax.Array:
 def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                        params: SVGFParams, mode: str, n_hbm: int,
                        Wp: int = None, save_w: bool = False,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, with_origin: bool = False):
     """Build the fwd or bwd kernel body for one à-trous level.
 
     Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad + inv-sigma
@@ -189,6 +190,9 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
     c_s2 = params.sigma_normal * _LOG2E * 0.125
 
     def kernel(*refs):
+        if with_origin:
+            org_ref = refs[0]  # (2,) int32 SMEM: tile origin (row, col)
+            refs = refs[1:]
         hbm = refs[:n_hbm]
         wout_ref = None
         if mode == "fwd":
@@ -243,6 +247,12 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
 
         gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0)
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+        if with_origin:
+            # sharded tiles: masks test GLOBAL image coordinates (the tile's
+            # exchanged halo is in-image data of the neighbor; only taps
+            # beyond the global border are dropped)
+            gy = gy + org_ref[0]
+            gx = gx + org_ref[1]
 
         tiles = [s[slot] for s in scratch]
         if mode == "fwd":
@@ -277,7 +287,10 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                       & (gx + sgn * dx * spacing < W)).astype(dtype)
                  for dx in range(-r, r + 1)}
         if mode == "bwd":
-            in_img = (gy < H).astype(dtype)
+            # masks the *output* pixel x itself: beyond-global-border rows
+            # (wrapper pad rows, or a sharded tile's halo hanging off the
+            # image edge) must not accumulate gradient
+            in_img = ((gy >= 0) & (gy < H)).astype(dtype)
             row_m = {dy: m * in_img for dy, m in row_m.items()}
 
         acc_c = jnp.zeros((3, TH, Wp), jnp.float32)
@@ -522,11 +535,13 @@ def _pad_rows_halo(x: jax.Array, H_pad: int, halo_pad: int, W_pad: int) -> jax.A
 
 
 @functools.partial(jax.jit, static_argnames=("level", "params", "interpret",
-                                              "save_weights", "precision"))
+                                              "save_weights", "precision",
+                                              "bounds"))
 def atrous_level_fwd_pallas(
     color, variance, normal, depth, zgrad, sigma_denom,
     *, level: int, params: SVGFParams, interpret: bool = False,
     save_weights: bool = False, precision: str = "f32",
+    origin=None, bounds=None,
 ):
     """One forward à-trous level on TPU. Returns (color', variance', norm)
     plus, with ``save_weights``, the (n_taps, H, W) weight planes the
@@ -563,14 +578,24 @@ def atrous_level_fwd_pallas(
         out_shape.append(jax.ShapeDtypeStruct((n_taps, H_pad, Wp), jnp.float32))
 
     isd2 = _LOG2E / jnp.maximum(sigma_denom, _EPS)
-    kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
+    with_origin = origin is not None
+    if with_origin:
+        Hm, Wm = bounds
+    else:
+        Hm, Wm = H, W
+    kernel = _make_level_kernel(Hm, Wm, TH, halo_pad, spacing, params, "fwd",
                                 n_hbm=4, Wp=Wp, save_w=save_weights,
-                                dtype=dtype)
+                                dtype=dtype, with_origin=with_origin)
+    org_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if with_origin
+                 else [])
+    org_args = ((jnp.stack([origin[0], origin[1]]).astype(jnp.int32),)
+                if with_origin else ())
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[_hbm_spec()] * 4 + [_center_spec(2, TH, Wp),
-                                      _center_spec(None, TH, Wp)],
+        in_specs=org_specs
+        + [_hbm_spec()] * 4 + [_center_spec(2, TH, Wp),
+                               _center_spec(None, TH, Wp)],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=_scratch_tiles(plane_dims, BLK, Wp, dtype)
@@ -578,6 +603,7 @@ def atrous_level_fwd_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
+        *org_args,
         _pad_rows_halo(color.astype(dtype), H_pad, halo_pad, Wp),
         _pad_rows_halo(normal.astype(dtype), H_pad, halo_pad, Wp),
         _pad_rows_halo(depth.astype(dtype), H_pad, halo_pad, Wp),
@@ -593,11 +619,11 @@ def atrous_level_fwd_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("level", "params", "interpret",
-                                              "precision"))
+                                              "precision", "bounds"))
 def atrous_level_bwd_pallas(
     color, normal, depth, zgrad, sigma_denom, norm, g_color, g_var,
     *, level: int, params: SVGFParams, interpret: bool = False,
-    precision: str = "f32",
+    precision: str = "f32", origin=None, bounds=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Adjoint (detached weights): returns (d_color, d_variance).
 
@@ -628,12 +654,22 @@ def atrous_level_bwd_pallas(
     u = g_color * inv_n[None]
     u2 = g_var * (inv_n * inv_n)
 
-    kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "bwd",
-                                n_hbm=7, Wp=Wp, dtype=dtype)
+    with_origin = origin is not None
+    if with_origin:
+        Hm, Wm = bounds
+    else:
+        Hm, Wm = H, W
+    kernel = _make_level_kernel(Hm, Wm, TH, halo_pad, spacing, params, "bwd",
+                                n_hbm=7, Wp=Wp, dtype=dtype,
+                                with_origin=with_origin)
+    org_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if with_origin
+                 else [])
+    org_args = ((jnp.stack([origin[0], origin[1]]).astype(jnp.int32),)
+                if with_origin else ())
     dcol, dvar = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[_hbm_spec()] * 7,
+        in_specs=org_specs + [_hbm_spec()] * 7,
         out_specs=(
             _center_spec(3, TH, Wp),
             _center_spec(None, TH, Wp),
@@ -647,6 +683,7 @@ def atrous_level_bwd_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
+        *org_args,
         _pad_rows_halo(lum.astype(dtype), H_pad, halo_pad, Wp),
         _pad_rows_halo(normal.astype(dtype), H_pad, halo_pad, Wp),
         _pad_rows_halo(depth.astype(dtype), H_pad, halo_pad, Wp),
@@ -1225,3 +1262,73 @@ def atrous_level_wgrad_bwd_pallas(
     d_zgrad = dzg[:, :H, :W]
     d_sden = dsd[:H, :W]
     return d_color, d_variance, d_normal, d_depth, d_zgrad, d_sden
+
+
+# ---------------------------------------------------------------------------
+# sharded-tile entry: the Pallas kernels inside shard_map
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def atrous_level_tile(color_p, variance_p, normal_p, depth_p, zgrad_p,
+                      sigma_denom_p, origin,
+                      level: int, params: SVGFParams,
+                      bounds: Tuple[int, int], interpret: bool = False):
+    """One à-trous level on a halo-exchanged device tile (call inside
+    shard_map) — the Pallas kernels replacing ``svgf_spatial_local``'s jnp
+    oracle math (VERDICT round-1 next-step #5).
+
+    Inputs are tiles padded by ``h = radius * 2^level`` on both spatial axes
+    (from ``parallel.halo.exchange_halo2d``); ``origin`` is the tile's
+    global (row0, col0) — a traced per-device scalar pair — and ``bounds``
+    the global image shape.  The tile-with-halo is processed as a small
+    image whose border masks test *global* coordinates (halo pixels are
+    in-image neighbor data; only taps beyond the global border drop), and
+    the h-wide halo ring of computed output is cropped.  The adjoint runs
+    the transposed kernel over the same tile shape and returns gradients
+    for the *haloed* inputs — shard_map's ppermute transpose then routes
+    halo gradients back to the owning devices.
+    """
+    out, _res = _atrous_tile_fwd(color_p, variance_p, normal_p, depth_p,
+                                 zgrad_p, sigma_denom_p, origin,
+                                 level, params, bounds, interpret)
+    return out
+
+
+def _atrous_tile_fwd(color_p, variance_p, normal_p, depth_p, zgrad_p,
+                     sigma_denom_p, origin, level, params, bounds, interpret):
+    h = params.radius << level
+    ry, cx = origin
+    org = (ry - h, cx - h)  # tile-as-image origin includes the halo ring
+    c, v, n = atrous_level_fwd_pallas(
+        color_p, variance_p, normal_p, depth_p, zgrad_p, sigma_denom_p,
+        level=level, params=params, interpret=interpret,
+        origin=org, bounds=bounds,
+    )
+    out = (c[:, h:c.shape[-2] - h, h:c.shape[-1] - h],
+           v[h:v.shape[-2] - h, h:v.shape[-1] - h])
+    res = (color_p, normal_p, depth_p, zgrad_p, sigma_denom_p, n, origin)
+    return out, res
+
+
+def _atrous_tile_bwd(level, params, bounds, interpret, res, g):
+    color_p, normal_p, depth_p, zgrad_p, sigma_denom_p, n, origin = res
+    gc, gv = g
+    h = params.radius << level
+    ry, cx = origin
+    org = (ry - h, cx - h)
+    pad = [(0, 0)] * (gc.ndim - 2) + [(h, h), (h, h)]
+    gc_p = jnp.pad(gc, pad)
+    gv_p = jnp.pad(gv, [(h, h), (h, h)])
+    dcol, dvar = atrous_level_bwd_pallas(
+        color_p, normal_p, depth_p, zgrad_p, sigma_denom_p, n, gc_p, gv_p,
+        level=level, params=params, interpret=interpret,
+        origin=org, bounds=bounds,
+    )
+    zero = jnp.zeros_like
+    d_org = jax.tree.map(
+        lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0), origin)
+    return (dcol, dvar, zero(normal_p), zero(depth_p), zero(zgrad_p),
+            zero(sigma_denom_p), d_org)
+
+
+atrous_level_tile.defvjp(_atrous_tile_fwd, _atrous_tile_bwd)

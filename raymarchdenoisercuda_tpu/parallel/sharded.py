@@ -147,8 +147,16 @@ def svgf_spatial_local(
     color, variance, normal, depth,
     Hg: int, Wg: int,
     *, params: SVGFParams, return_feedback: bool = False,
+    impl: str = "oracle", interpret: bool = False,
 ):
-    """Multi-level à-trous on local tiles (call inside shard_map)."""
+    """Multi-level à-trous on local tiles (call inside shard_map).
+
+    ``impl="pallas"`` runs each level through the TPU band kernels on the
+    halo-exchanged tile (``atrous_level_tile``) instead of the jnp oracle
+    math — the inter-chip ``cacheTile`` analogue feeding ICI halos directly
+    into the kernels (VERDICT round-1 next-step #5).  Same global-coordinate
+    masking contract, so results match the oracle path.
+    """
     th, tw = depth.shape
     ry, cx = tile_origin((th, tw))
     zgrad = _zgrad_local(depth, ry, cx, Hg, Wg)
@@ -159,12 +167,23 @@ def svgf_spatial_local(
         sden = params.sigma_color * jnp.sqrt(jnp.maximum(
             _variance_blur3x3_local(lax.stop_gradient(v), ry, cx, Hg, Wg), 0.0
         )) + _EPS
-        c, v = atrous_level_local(
-            exchange_halo2d(c, h), exchange_halo2d(v, h),
-            exchange_halo2d(normal, h), exchange_halo2d(depth, h),
-            exchange_halo2d(sden, h),
-            zgrad, ry, cx, Hg, Wg, level=lvl, params=params,
-        )
+        if impl == "pallas":
+            from ..ops.pallas.atrous_tpu import atrous_level_tile
+
+            ring = [(0, 0)] * (zgrad.ndim - 2) + [(h, h), (h, h)]
+            c, v = atrous_level_tile(
+                exchange_halo2d(c, h), exchange_halo2d(v, h),
+                exchange_halo2d(normal, h), exchange_halo2d(depth, h),
+                jnp.pad(zgrad, ring), jnp.pad(sden, [(h, h), (h, h)]),
+                (ry, cx), lvl, params, (Hg, Wg), interpret,
+            )
+        else:
+            c, v = atrous_level_local(
+                exchange_halo2d(c, h), exchange_halo2d(v, h),
+                exchange_halo2d(normal, h), exchange_halo2d(depth, h),
+                exchange_halo2d(sden, h),
+                zgrad, ry, cx, Hg, Wg, level=lvl, params=params,
+            )
         if lvl + 1 == params.feedback_level:
             feedback = c
     if return_feedback:
@@ -338,17 +357,21 @@ def temporal_accumulate_local(
     return integrated, variance, new_history
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "params", "return_feedback"))
+@functools.partial(jax.jit, static_argnames=("mesh", "params",
+                                              "return_feedback", "impl",
+                                              "interpret"))
 def svgf_spatial_sharded(
     color, variance, normal, depth,
     *, mesh: Mesh, params: SVGFParams = SVGFParams(),
-    return_feedback: bool = False,
+    return_feedback: bool = False, impl: str = "oracle",
+    interpret: bool = False,
 ):
     """Sharded multi-level à-trous sweep over mesh axes ('y', 'x')."""
     Hg, Wg = depth.shape
 
     fn = functools.partial(svgf_spatial_local, Hg=Hg, Wg=Wg, params=params,
-                           return_feedback=return_feedback)
+                           return_feedback=return_feedback, impl=impl,
+                           interpret=interpret)
     out_specs = (PLANES, PLANE, PLANES) if return_feedback else (PLANES, PLANE)
     return shard_map(
         fn, mesh=mesh,
@@ -367,11 +390,14 @@ def pipeline_local(
     Hg: int, Wg: int,
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
     svgf_params: SVGFParams, spp: int = 1, demod: bool = True,
+    impl: str = "oracle", interpret: bool = False,
 ):
     """Per-device frame pipeline (call inside shard_map).
 
     The raymarch is embarrassingly parallel (each device renders its own
     pixel window); temporal + spatial use ICI halo exchange.
+    ``impl="pallas"`` routes the raymarch and the à-trous levels through
+    the TPU kernels (banded march + tile band kernels).
     """
     from ..ops.raymarch import render_gbuffer_window
     from ..models.svgf import demodulate, remodulate
@@ -393,7 +419,8 @@ def pipeline_local(
         work, history, Hg, Wg, params=svgf_params)
     filtered, _v, feedback = svgf_spatial_local(
         integrated, variance, gbuf.normal, gbuf.depth, Hg, Wg,
-        params=svgf_params, return_feedback=True)
+        params=svgf_params, return_feedback=True, impl=impl,
+        interpret=interpret)
     new_history = new_history.replace(color=feedback)
     denoised = remodulate(filtered, gbuf.albedo) if demod else filtered
     return gbuf.replace(denoised=denoised), new_history
@@ -403,6 +430,7 @@ def make_sharded_pipeline(
     mesh: Mesh, Hg: int, Wg: int,
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
     svgf_params: SVGFParams, spp: int = 1,
+    impl: str = "oracle", interpret: bool = False,
 ):
     """Build a jitted sharded (render + denoise) frame function.
 
@@ -416,7 +444,8 @@ def make_sharded_pipeline(
 
     fn = functools.partial(
         pipeline_local, Hg=Hg, Wg=Wg, cam_cfg=cam_cfg,
-        rm_params=rm_params, svgf_params=svgf_params, spp=spp)
+        rm_params=rm_params, svgf_params=svgf_params, spp=spp,
+        impl=impl, interpret=interpret)
 
     sharded = shard_map(
         fn, mesh=mesh,
@@ -430,28 +459,51 @@ def make_sharded_pipeline(
 def make_sharded_train_step(
     mesh: Mesh, base_scene, camera, target, optimizer,
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
-    svgf_params: SVGFParams,
+    svgf_params: SVGFParams, impl: str = "oracle", interpret: bool = False,
 ):
     """Sharded version of models.pipeline.make_train_step: loss + grads of
-    the material table with the image pipeline sharded over ('y','x').
+    the material table with the image pipeline sharded over ('y','x') and —
+    when the mesh has a non-trivial 'data' axis — Monte-Carlo samples
+    data-parallel across it.
 
     The albedo table is replicated; shard_map transposes the replicated->
-    sharded broadcast into a psum of per-device gradient contributions —
-    the gradient all-reduce over ICI (SURVEY.md §5 backend row).
+    sharded broadcast into a psum of per-device gradient contributions over
+    ALL mesh axes — the gradient all-reduce over ICI (SURVEY.md §5 backend
+    row).  With data parallelism, each 'data' slice renders the frame with
+    an independent noise key and keeps its own temporal history (leading
+    batch axis sharded P('data')); the loss is the pmean of the slice
+    losses, so the material gradient averages over ``data_size`` independent
+    MC estimates per step.
     """
-    hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
-                         prev_depth=PLANE, prev_normal=PLANES)
+    nd = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    if nd > 1:
+        hist_specs = History(
+            color=P("data", None, "y", "x"),
+            moments=P("data", None, "y", "x"),
+            length=P("data", "y", "x"),
+            prev_depth=P("data", "y", "x"),
+            prev_normal=P("data", None, "y", "x"))
+    else:
+        hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                             prev_depth=PLANE, prev_normal=PLANES)
 
     def local_loss(albedo, history, key, target_tile):
         scene = base_scene.replace(
             materials=base_scene.materials.replace(albedo=albedo))
+        if nd > 1:
+            history = jax.tree.map(lambda x: x[0], history)
+            key = jax.random.fold_in(key, lax.axis_index("data"))
         out, new_hist = pipeline_local(
             scene, camera, None, history, key,
             target.shape[-2], target.shape[-1],
-            cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params)
+            cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params,
+            impl=impl, interpret=interpret)
         # mean over the full image = psum of tile sums / global pixel count
         sse = jnp.sum((out.denoised - target_tile) ** 2)
         loss = lax.psum(lax.psum(sse, "y"), "x") / (3 * target.shape[-2] * target.shape[-1])
+        if nd > 1:
+            loss = lax.pmean(loss, "data")
+            new_hist = jax.tree.map(lambda x: x[None], new_hist)
         return loss, new_hist
 
     sharded_loss = shard_map(

@@ -93,3 +93,46 @@ def test_sharded_gradients_match_oracle(rng):
     g_shard = jax.grad(loss_shard)(color)
     np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_sharded_pallas_kernels_match_oracle(rng, n_dev):
+    """The Pallas band kernels running INSIDE shard_map (halo-exchanged
+    tiles + global-coordinate masks via SMEM tile origins) reproduce the
+    single-device oracle (VERDICT round-1 next-step #5)."""
+    color, variance, normal, depth = _scene(rng)
+    params = SVGFParams(iterations=3)
+    want_c, want_v = svgf_spatial_ref(color, variance, normal, depth,
+                                      params=params, detach_weights=True)
+    mesh = make_mesh(n_dev)
+    got_c, got_v = svgf_spatial_sharded(color, variance, normal, depth,
+                                        mesh=mesh, params=params,
+                                        impl="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=5e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=5e-5, atol=1e-6)
+
+
+def test_sharded_pallas_gradients_match_oracle(rng):
+    """Adjoint of the tile kernels + ppermute transpose routes halo
+    gradients across devices identically to the oracle."""
+    color, variance, normal, depth = _scene(rng, 48, 48)
+    params = SVGFParams(iterations=2)
+    mesh = make_mesh(4)
+
+    def loss_ref(c):
+        oc, _ = svgf_spatial_ref(c, variance, normal, depth, params=params,
+                                 detach_weights=True)
+        return jnp.sum(oc ** 2)
+
+    def loss_shard(c):
+        oc, _ = svgf_spatial_sharded(c, variance, normal, depth, mesh=mesh,
+                                     params=params, impl="pallas",
+                                     interpret=True)
+        return jnp.sum(oc ** 2)
+
+    g_ref = jax.grad(loss_ref)(color)
+    g_shard = jax.grad(loss_shard)(color)
+    np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
