@@ -126,13 +126,24 @@ def apply_filter(
             out = box_filter(gbuf.render, radius=params.radius,
                              depth=params.depth)
     elif t == FilterType.GAUSSIAN:
-        out = gaussian_filter(gbuf.render, radius=params.radius,
-                              sigma=params.sigma_space, depth=params.depth)
+        if impl == "pallas":
+            from .pallas.filters_tpu import gaussian_filter_pallas
+            out = gaussian_filter_pallas(gbuf.render, radius=params.radius,
+                                         sigma=params.sigma_space,
+                                         depth=params.depth)
+        else:
+            out = gaussian_filter(gbuf.render, radius=params.radius,
+                                  sigma=params.sigma_space, depth=params.depth)
     elif t == FilterType.CROSS:
         out = gbuf.render
         for _ in range(params.depth):
-            out = cross_bilateral_filter(out, gbuf.albedo, gbuf.normal,
-                                         gbuf.depth, params=params)
+            if impl == "pallas":
+                from .pallas.filters_tpu import cross_bilateral_pallas
+                out = cross_bilateral_pallas(out, gbuf.albedo, gbuf.normal,
+                                             gbuf.depth, params=params)
+            else:
+                out = cross_bilateral_filter(out, gbuf.albedo, gbuf.normal,
+                                             gbuf.depth, params=params)
     elif t == FilterType.WAVELET:
         sp = SVGFParams(
             iterations=params.depth, radius=params.radius,

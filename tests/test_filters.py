@@ -123,3 +123,42 @@ def test_filter_level_rejected_for_non_wavelet():
                 normal=jnp.zeros((3, 8, 8)), depth=jnp.zeros((8, 8)))
     with pytest.raises(ValueError, match="level"):
         apply_filter(g, FilterParams(type=FilterType.AVERAGE, level=1))
+
+
+def test_gaussian_pallas_parity(rng):
+    """Pallas separable gaussian band kernel == jnp oracle (interpret)."""
+    from raymarchdenoisercuda_tpu.ops.filters import gaussian_filter
+    from raymarchdenoisercuda_tpu.ops.pallas.filters_tpu import (
+        gaussian_filter_pallas)
+
+    x = jnp.asarray(rng.random((3, 40, 72), dtype=np.float32))
+    for depth in (1, 2):
+        want = gaussian_filter(x, radius=2, sigma=2.0, depth=depth)
+        got = gaussian_filter_pallas(x, radius=2, sigma=2.0, depth=depth,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_cross_bilateral_pallas_parity(rng):
+    """Pallas cross-bilateral band kernel == jnp oracle (interpret) —
+    completes kernel coverage of the reference FilterType enum
+    (filter.cuh:12)."""
+    from raymarchdenoisercuda_tpu.config import FilterParams, FilterType
+    from raymarchdenoisercuda_tpu.ops.filters import cross_bilateral_filter
+    from raymarchdenoisercuda_tpu.ops.pallas.filters_tpu import (
+        cross_bilateral_pallas)
+
+    H, W = 40, 72
+    color = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    albedo = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    n = rng.standard_normal((3, H, W)).astype(np.float32)
+    n[2] += 3.0
+    n /= np.sqrt((n ** 2).sum(0, keepdims=True))
+    depth = jnp.asarray((0.3 + 0.5 * rng.random((H, W))).astype(np.float32))
+    p = FilterParams(type=FilterType.CROSS)
+    want = cross_bilateral_filter(color, albedo, jnp.asarray(n), depth,
+                                  params=p)
+    got = cross_bilateral_pallas(color, albedo, jnp.asarray(n), depth,
+                                 params=p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
