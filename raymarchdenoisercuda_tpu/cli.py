@@ -81,6 +81,39 @@ def _register_builtin_cases():
             lambda: render_gbuffer(scene, cam, cam, key, cam_cfg=cfg), repeats=3)
         print(f"\t{mpix_per_s(512, 512, dt):.1f} Mpix/s")
 
+    @case_("TEMPORAL")
+    def temporal_case():
+        from .gbuffer import GBuffer, History
+        color, _v, normal, depth = _rand_planes(H, W)
+        motion = jnp.zeros((2, H, W)).at[0].set(1.3).at[1].set(-2.7)
+        g = GBuffer(render=color, albedo=jnp.full((3, H, W), 0.7),
+                    normal=normal, depth=depth, motion=motion)
+        hist = History.zeros(H, W)
+        params = SVGFParams()
+        if on_tpu:
+            from .ops.pallas.temporal_tpu import temporal_accumulate_pallas as ta
+        else:
+            from .ops.temporal import temporal_accumulate as ta
+        dt, (integ, var, _h) = time_fn(
+            lambda: ta(g, hist, params=params), repeats=5)
+        assert np.isfinite(np.asarray(integ)).all()
+        print(f"\t{mpix_per_s(H, W, dt):.1f} Mpix/s")
+
+    @case_("FILTER_CROSS")
+    def filter_cross():
+        from .config import FilterParams, FilterType
+        color, _v, normal, depth = _rand_planes(H, W)
+        albedo = jnp.full((3, H, W), 0.7)
+        p = FilterParams(type=FilterType.CROSS)
+        if on_tpu:
+            from .ops.pallas.filters_tpu import cross_bilateral_pallas as cb
+        else:
+            from .ops.filters import cross_bilateral_filter as cb
+        dt, out = time_fn(
+            lambda: cb(color, albedo, normal, depth, params=p), repeats=5)
+        assert np.isfinite(np.asarray(out)).all()
+        print(f"\t{mpix_per_s(H, W, dt):.1f} Mpix/s")
+
     @case_("DEVICE_STATS")
     def device_stats():
         # reference SKIPs this (test.cu:51-53); we run it

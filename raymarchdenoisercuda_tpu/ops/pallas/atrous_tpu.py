@@ -536,12 +536,12 @@ def _pad_rows_halo(x: jax.Array, H_pad: int, halo_pad: int, W_pad: int) -> jax.A
 
 @functools.partial(jax.jit, static_argnames=("level", "params", "interpret",
                                               "save_weights", "precision",
-                                              "bounds"))
+                                              "bounds", "tile_rows"))
 def atrous_level_fwd_pallas(
     color, variance, normal, depth, zgrad, sigma_denom,
     *, level: int, params: SVGFParams, interpret: bool = False,
     save_weights: bool = False, precision: str = "f32",
-    origin=None, bounds=None,
+    origin=None, bounds=None, tile_rows: int = None,
 ):
     """One forward à-trous level on TPU. Returns (color', variance', norm)
     plus, with ``save_weights``, the (n_taps, H, W) weight planes the
@@ -560,9 +560,10 @@ def atrous_level_fwd_pallas(
     # haloed scratch: 8 planes; double-buffered center blocks: zgrad+isd+outs
     n_taps = (2 * params.radius + 1) ** 2
     n_center = 8 + (n_taps if save_weights else 0)
-    TH = _pick_tile_rows(H, Wp, halo_pad, n_haloed_planes=16,
-                         n_center_planes=n_center, n_temp_planes=3 * n_taps,
-                         elem_bytes=ebytes, align=align)
+    TH = tile_rows or _pick_tile_rows(
+        H, Wp, halo_pad, n_haloed_planes=16,
+        n_center_planes=n_center, n_temp_planes=3 * n_taps,
+        elem_bytes=ebytes, align=align)
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
     BLK = TH + 2 * halo_pad
@@ -619,11 +620,12 @@ def atrous_level_fwd_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("level", "params", "interpret",
-                                              "precision", "bounds"))
+                                              "precision", "bounds",
+                                              "tile_rows"))
 def atrous_level_bwd_pallas(
     color, normal, depth, zgrad, sigma_denom, norm, g_color, g_var,
     *, level: int, params: SVGFParams, interpret: bool = False,
-    precision: str = "f32", origin=None, bounds=None,
+    precision: str = "f32", origin=None, bounds=None, tile_rows: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Adjoint (detached weights): returns (d_color, d_variance).
 
@@ -639,9 +641,9 @@ def atrous_level_bwd_pallas(
     spacing = 1 << level
     halo_pad = _round_up(params.radius * spacing, align)
     n_taps = (2 * params.radius + 1) ** 2
-    TH = _pick_tile_rows(H, Wp, halo_pad, n_haloed_planes=24, n_center_planes=4,
-                         n_temp_planes=4 * n_taps, elem_bytes=ebytes,
-                         align=align)
+    TH = tile_rows or _pick_tile_rows(
+        H, Wp, halo_pad, n_haloed_planes=24, n_center_planes=4,
+        n_temp_planes=4 * n_taps, elem_bytes=ebytes, align=align)
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
     BLK = TH + 2 * halo_pad

@@ -193,14 +193,6 @@ def _make_cross_kernel(H, W, TH, halo, params: FilterParams, Wp):
         num = jnp.zeros((3, TH, Wp), jnp.float32)
         den = jnp.zeros((TH, Wp), jnp.float32)
 
-        _rolled = {}
-
-        def shifted(x, oy, ox):
-            key = (id(x), ox)
-            if key not in _rolled:
-                _rolled[key] = _col_roll(x, ox)
-            return _rows(_rolled[key], C + oy, TH)
-
         def pow_sigma_n(x):
             p = params.sigma_normal
             ip = int(p)
@@ -212,14 +204,22 @@ def _make_cross_kernel(H, W, TH, halo, params: FilterParams, Wp):
                 return y
             return jnp.power(jnp.maximum(x, 1e-20), p)
 
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
+        # dx-major: one column roll per plane per dx, and only the current
+        # dx's rolled stacks are live (a dy-major cache of all (plane, dx)
+        # rolls is ~100 MB of concurrent VMEM temporaries at 1080p — it OOMs
+        # Mosaic's scratch allocator)
+        for dx in range(-r, r + 1):
+            c_r = _col_roll(c_t, dx)
+            a_r = _col_roll(a_t, dx)
+            n_r = _col_roll(n_t, dx)
+            z_r = _col_roll(z_t, dx)
+            for dy in range(-r, r + 1):
                 g = gt[dy + r] * gt[dx + r]
                 fm = row_m[dy] * col_m[dx]
-                a_q = shifted(a_t, dy, dx)
-                n_q = shifted(n_t, dy, dx)
-                z_q = shifted(z_t, dy, dx)
-                c_q = shifted(c_t, dy, dx)
+                a_q = _rows(a_r, C + dy, TH)
+                n_q = _rows(n_r, C + dy, TH)
+                z_q = _rows(z_r, C + dy, TH)
+                c_q = _rows(c_r, C + dy, TH)
 
                 d0 = a_c[0] - a_q[0]
                 d1 = a_c[1] - a_q[1]
@@ -245,7 +245,9 @@ def cross_bilateral_pallas(color, albedo, normal, depth,
     H, W = depth.shape
     Wp = _round_up(W, 128)
     halo = _round_up(params.radius, 8)
-    TH = min(256, _round_up(H, 8))
+    # 10 haloed planes x 2 DMA slots + 4 rolled stacks + in/out blocks:
+    # TH=128 keeps the worst case (~60 MB at 1920 lanes) inside VMEM
+    TH = min(128, _round_up(H, 8))
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
     BLK = TH + 2 * halo

@@ -259,9 +259,18 @@ def temporal_accumulate_pallas(
         Wp += 128  # lane pad doubles as the zero-fill region for column taps
     CH = _round_up(params.max_motion + 1, 8)
     CR = 8
-    # TH=128 keeps the double-buffered 10-plane haloed history stack, the
-    # (10, TH, Wp) gather accumulator and the output blocks inside VMEM
-    TH = min(128, _round_up(H, 8))
+    # Budget TH so the double-buffered 10-plane haloed history stack, the
+    # (10, TH, Wp) gather accumulator + its rotate temporaries, and the
+    # in/out blocks stay inside the 120 MB VMEM window (the un-budgeted
+    # TH=128 overflowed by ~3 MB at Wp=2048: ~65 haloed + ~30 center
+    # plane-rows live per band row, measured from the Mosaic OOM report)
+    TH = 8
+    for cand in (128, 96, 64, 48, 32, 16):
+        est = 4 * Wp * ((cand + 2 * CH) * 65 + cand * 30)
+        if est < 100 * 2 ** 20:
+            TH = cand
+            break
+    TH = min(TH, _round_up(H, 8))
     H_pad = _round_up(H, TH)
     grid = H_pad // TH
     color = gbuf.render

@@ -39,8 +39,12 @@ def _inputs(H, W, seed=0):
 
 
 def time_sharded_step(n_devices: int, tile: int = 256, iterations: int = 5,
-                      backward: bool = True, chain: int = 8) -> float:
-    """Seconds per fwd(+bwd) SVGF step at ``tile``^2 pixels per device."""
+                      backward: bool = True, chain: int = 8,
+                      impl: str = "oracle") -> float:
+    """Seconds per fwd(+bwd) SVGF step at ``tile``^2 pixels per device.
+
+    ``impl="pallas"`` times the band kernels inside shard_map (the real-pod
+    configuration)."""
     mesh = make_mesh(n_devices)
     _, gy, gx = mesh.devices.shape
     H, W = tile * gy, tile * gx
@@ -51,11 +55,12 @@ def time_sharded_step(n_devices: int, tile: int = 256, iterations: int = 5,
         if backward:
             def loss(c):
                 oc, ov = svgf_spatial_sharded(c, variance, normal, depth,
-                                              mesh=mesh, params=params)
+                                              mesh=mesh, params=params,
+                                              impl=impl)
                 return jnp.sum(oc ** 2) + jnp.sum(ov)
             return jax.grad(loss)(c)
         oc, _ = svgf_spatial_sharded(c, variance, normal, depth,
-                                     mesh=mesh, params=params)
+                                     mesh=mesh, params=params, impl=impl)
         return oc
 
     def make_chain(n):
@@ -79,12 +84,13 @@ def time_sharded_step(n_devices: int, tile: int = 256, iterations: int = 5,
 
 
 def weak_scaling(device_counts: Sequence[int], tile: int = 256,
-                 iterations: int = 5, backward: bool = True) -> List[Dict]:
+                 iterations: int = 5, backward: bool = True,
+                 impl: str = "oracle") -> List[Dict]:
     """Measure each device count; returns rows with efficiency vs the first."""
     rows = []
     t1: Optional[float] = None
     for n in device_counts:
-        t = time_sharded_step(n, tile, iterations, backward)
+        t = time_sharded_step(n, tile, iterations, backward, impl=impl)
         if t1 is None:
             t1 = t
         mpix = n * tile * tile / t / 1e6
@@ -102,6 +108,7 @@ def weak_scaling(device_counts: Sequence[int], tile: int = 256,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--impl", default="oracle", choices=["oracle", "pallas"])
     ap.add_argument("--iterations", type=int, default=5)
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--fwd-only", action="store_true")
@@ -116,7 +123,7 @@ def main(argv=None):
     avail = len(jax.devices())
     counts = args.devices or [n for n in (1, 2, 4, 8, 16) if n <= avail]
     rows = weak_scaling(counts, args.tile, args.iterations,
-                        backward=not args.fwd_only)
+                        backward=not args.fwd_only, impl=args.impl)
     for r in rows:
         print(json.dumps(r))
 

@@ -102,5 +102,42 @@ def main():
           f"(levels {args.levels}, {args.what})")
 
 
+# --- TH sweep (run as: python tools/perf_probe.py --sweep-th) ---
+def sweep_th():
+    import jax.numpy as jnp
+    from raymarchdenoisercuda_tpu.config import SVGFParams
+    from raymarchdenoisercuda_tpu.ops.atrous import variance_blur3x3, _EPS
+    from raymarchdenoisercuda_tpu.ops.common import finite_diff_gradients
+    from raymarchdenoisercuda_tpu.ops.pallas import atrous_tpu as at
+
+    H, W = 1080, 1920
+    params = SVGFParams()
+    color, variance, normal, depth = scene(H, W)
+    zgrad = finite_diff_gradients(depth)
+    sden = params.sigma_color * jnp.sqrt(
+        jnp.maximum(variance_blur3x3(variance), 0.0)) + _EPS
+    for lvl in (0, 4):
+        for th in (None, 72, 136, 216, 360):
+            try:
+                def mk(n, lvl=lvl, th=th):
+                    @jax.jit
+                    def f(c):
+                        def body(i, c):
+                            c2, _v, _n = at.atrous_level_fwd_pallas(
+                                c, variance, normal, depth, zgrad, sden,
+                                level=lvl, params=params, tile_rows=th)
+                            return c2
+                        return jnp.sum(jax.lax.fori_loop(0, n, body, c))
+                    return f
+                dt = chain_time(mk, color)
+                print(f"fwd level {lvl} TH={th}: {dt*1e3:7.3f} ms", flush=True)
+            except Exception as e:
+                print(f"fwd level {lvl} TH={th}: FAILED {str(e)[:80]}",
+                      flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--sweep-th" in sys.argv:
+        sweep_th()
+    else:
+        main()
