@@ -129,7 +129,7 @@ def bench_svgf_fwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
     return H * W / dt / 1e6, dt
 
 
-def bench_raymarch(H=1080, W=1920, repeats=5):
+def bench_raymarch(H=1080, W=1920, repeats=5, impl=None):
     """Fused raymarch+G-buffer pass, chain-slope timed (the per-frame key
     split forms the dependency chain)."""
     import jax
@@ -138,6 +138,9 @@ def bench_raymarch(H=1080, W=1920, repeats=5):
     from raymarchdenoisercuda_tpu.ops.raymarch import (
         cornell_scene, cornell_camera, render_gbuffer)
 
+    if impl is None:
+        impl = ("pallas" if jax.devices()[0].platform in ("tpu", "axon")
+                else "jnp")
     cfg = CameraParams(width=W, height=H)
     rm = RaymarchParams()
     scene = cornell_scene()
@@ -149,7 +152,8 @@ def bench_raymarch(H=1080, W=1920, repeats=5):
             def body(i, carry):
                 key, acc = carry
                 key, sub = jax.random.split(key)
-                g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cfg, params=rm)
+                g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cfg,
+                                   params=rm, impl=impl)
                 return (jax.random.fold_in(key, jnp.int32(g.render[0, 0, 0])),
                         acc + g.depth[0, 0])
             _, acc = jax.lax.fori_loop(
@@ -253,7 +257,10 @@ def main():
         metric = f"raymarch+temporal+SVGF frame 1080p ({args.precision})"
     else:
         value, dt = bench_raymarch(repeats=min(args.repeats, 5))
-        metric = "raymarch+gbuffer 1080p"
+        import jax as _jax
+        _plat = _jax.devices()[0].platform
+        metric = ("raymarch+gbuffer 1080p (pallas)"
+                  if _plat in ("tpu", "axon") else "raymarch+gbuffer 1080p")
 
     base = _baseline_value()
     vs = value / base if base else 1.0

@@ -53,15 +53,25 @@ def _rows(x, o, size):
     return x[tuple(idx)]
 
 
-def _make_kernel(H, W, TH, Wp, CH, CR, params: SVGFParams):
-    """CH: staged halo rows of the history stack; CR: of the render."""
+def _make_kernel(H, W, TH, Wp, CH, CR, params: SVGFParams,
+                 with_origin: bool = False):
+    """CH: staged halo rows of the history stack; CR: of the render.
+
+    ``with_origin``: sharded-tile mode — an SMEM (2,) int32 ref carries the
+    tile's global (row0, col0) and all border/validity masks test GLOBAL
+    image coordinates against ``(H, W)`` = the global bounds (the tile's
+    exchanged halo ring is in-image neighbor data)."""
     M = params.max_motion
     BLKH = TH + 2 * CH
     BLKR = TH + 2 * CR
 
-    def kernel(hist_hbm, rend_hbm, motion_ref, depth_ref, normal_ref,
-               integ_ref, var_ref, mom_ref, len_ref,
-               hist_s, rend_s, sems):
+    def kernel(*refs):
+        if with_origin:
+            org_ref = refs[0]
+            refs = refs[1:]
+        (hist_hbm, rend_hbm, motion_ref, depth_ref, normal_ref,
+         integ_ref, var_ref, mom_ref, len_ref,
+         hist_s, rend_s, sems) = refs
         b = pl.program_id(0)
         nb = pl.num_programs(0)
 
@@ -98,6 +108,9 @@ def _make_kernel(H, W, TH, Wp, CH, CR, params: SVGFParams):
 
         gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0)
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+        if with_origin:
+            gy = gy + org_ref[0]
+            gx = gx + org_ref[1]
         gyf = gy.astype(jnp.float32)
         gxf = gx.astype(jnp.float32)
 
@@ -240,16 +253,21 @@ def _pad2(x, H_pad, Wp):
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "bounds"))
 def temporal_accumulate_pallas(
     gbuf: GBuffer,
     history: History,
     *,
     params: SVGFParams = SVGFParams(),
     interpret: bool = False,
+    origin=None, bounds=None,
 ) -> Tuple[jax.Array, jax.Array, History]:
     """Fused temporal step on TPU; drop-in for
-    ``ops.temporal.temporal_accumulate`` (requires bounded motion)."""
+    ``ops.temporal.temporal_accumulate`` (requires bounded motion).
+
+    ``origin``/``bounds``: sharded-tile mode (see
+    :func:`temporal_accumulate_tile`) — border masks test global
+    coordinates; the planes passed in are tile-with-halo images."""
     if params.max_motion is None:
         raise ValueError("temporal_accumulate_pallas requires "
                          "SVGFParams.max_motion (bounded reprojection)")
@@ -282,7 +300,14 @@ def temporal_accumulate_pallas(
         history.prev_depth[None], history.prev_normal,
     ])  # (10, H, W)
 
-    kernel = _make_kernel(H, W, TH, Wp, CH, CR, params)
+    with_origin = origin is not None
+    Hm, Wm = bounds if with_origin else (H, W)
+    kernel = _make_kernel(Hm, Wm, TH, Wp, CH, CR, params,
+                          with_origin=with_origin)
+    org_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if with_origin
+                 else [])
+    org_args = ((jnp.stack([origin[0], origin[1]]).astype(jnp.int32),)
+                if with_origin else ())
 
     def cspec(n):
         if n is None:
@@ -294,9 +319,10 @@ def temporal_accumulate_pallas(
     integ, var, mom, length = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
-                  pl.BlockSpec(memory_space=pltpu.HBM),
-                  cspec(2), cspec(None), cspec(3)],
+        in_specs=org_specs
+        + [pl.BlockSpec(memory_space=pltpu.HBM),
+           pl.BlockSpec(memory_space=pltpu.HBM),
+           cspec(2), cspec(None), cspec(3)],
         out_specs=(cspec(3), cspec(None), cspec(2), cspec(None)),
         out_shape=(
             jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
@@ -312,6 +338,7 @@ def temporal_accumulate_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(
+        *org_args,
         _pad_rows_halo(hist_stack, H_pad, CH, Wp),
         _pad_rows_halo(color, H_pad, CR, Wp),
         _pad2(motion, H_pad, Wp),
@@ -328,3 +355,44 @@ def temporal_accumulate_pallas(
         prev_normal=gbuf.normal,
     )
     return integ, var[:H, :W], new_history
+
+
+def temporal_accumulate_tile(
+    gbuf_p: GBuffer, history_p: History, origin, bounds,
+    *, params: SVGFParams, interpret: bool = False,
+):
+    """Fused temporal step on a halo-exchanged device tile (call inside
+    shard_map) — the band kernel replacing ``temporal_accumulate_local``'s
+    jnp gather math, mirroring :func:`atrous_tpu.atrous_level_tile`.
+
+    All planes of ``gbuf_p``/``history_p`` are tiles padded by
+    ``hh = max_motion + 1`` on both spatial axes (``exchange_halo2d``; hh
+    covers the bounded reprojection's bilinear ceil tap, the 3x3 history
+    clamp and the 7x7 spatial-moment window).  ``origin`` is the *center*
+    tile's global (row0, col0); ``bounds`` the global image shape.  The
+    tile-with-halo runs as a small image whose masks test global
+    coordinates; the hh ring is cropped from the outputs.
+
+    Inference-only (no VJP), like ``temporal_accumulate_pallas``; training
+    paths use the jnp tile math.  Returns (integrated, variance, History)
+    with CENTER-tile shapes; the returned history's prev planes are the
+    center crop of ``gbuf_p``'s depth/normal.
+    """
+    hh = params.max_motion + 1
+    ry, cx = origin
+    org = (ry - hh, cx - hh)
+    integ_p, var_p, hist_out = temporal_accumulate_pallas(
+        gbuf_p, history_p, params=params, interpret=interpret,
+        origin=org, bounds=bounds)
+
+    def crop(x):
+        return x[..., hh:x.shape[-2] - hh, hh:x.shape[-1] - hh]
+
+    new_history = History(
+        color=crop(hist_out.color),
+        moments=crop(hist_out.moments),
+        length=crop(hist_out.length),
+        prev_depth=crop(gbuf_p.depth),
+        prev_normal=crop(gbuf_p.normal),
+    )
+    return crop(integ_p), crop(var_p), new_history

@@ -275,9 +275,13 @@ def _spatial_moments_local(lum, ry, cx, Hg, Wg, radius=3):
 
 def temporal_accumulate_local(
     gbuf: GBuffer, history: History, Hg: int, Wg: int,
-    *, params: SVGFParams,
+    *, params: SVGFParams, impl: str = "oracle", interpret: bool = False,
 ):
     """Tile-local temporal step (mirror of ops.temporal.temporal_accumulate).
+
+    ``impl="pallas"`` routes through the fused temporal band kernel on
+    halo-exchanged tiles (``temporal_accumulate_tile``) — inference-only
+    (no VJP); training paths keep the jnp math.
 
     The disocclusion policy is shared with the single-device path:
     ``params.max_motion`` is the single source of truth, accepted inclusively
@@ -298,6 +302,23 @@ def temporal_accumulate_local(
     motion = gbuf.motion if gbuf.motion is not None else jnp.zeros((2, th, tw), color.dtype)
     mm = params.max_motion
     mh = mm + 1  # halo width: max accepted motion + bilinear ceil tap
+
+    if impl == "pallas":
+        from ..ops.pallas.temporal_tpu import temporal_accumulate_tile
+
+        def ex(x):
+            return exchange_halo2d(x, mh)
+
+        gbuf_p = gbuf.replace(
+            render=ex(color), albedo=None, motion=ex(motion),
+            normal=ex(gbuf.normal), depth=ex(gbuf.depth), denoised=None)
+        hist_p = History(
+            color=ex(history.color), moments=ex(history.moments),
+            length=ex(history.length), prev_depth=ex(history.prev_depth),
+            prev_normal=ex(history.prev_normal))
+        return temporal_accumulate_tile(
+            gbuf_p, hist_p, (ry, cx), (Hg, Wg), params=params,
+            interpret=interpret)
 
     iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(color.dtype)
     ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(color.dtype)
@@ -390,7 +411,8 @@ def pipeline_local(
     Hg: int, Wg: int,
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
     svgf_params: SVGFParams, spp: int = 1, demod: bool = True,
-    impl: str = "oracle", interpret: bool = False,
+    impl: str = "oracle", temporal_impl: str = "auto",
+    interpret: bool = False,
 ):
     """Per-device frame pipeline (call inside shard_map).
 
@@ -398,7 +420,12 @@ def pipeline_local(
     pixel window); temporal + spatial use ICI halo exchange.
     ``impl="pallas"`` routes the raymarch and the à-trous levels through
     the TPU kernels (banded march + tile band kernels).
+    ``temporal_impl``: "auto" follows ``impl`` (the temporal band kernel on
+    the inference path); training steps pass "oracle" explicitly — the
+    temporal kernel has no VJP (models/svgf.py convention).
     """
+    if temporal_impl == "auto":
+        temporal_impl = impl
     from ..ops.raymarch import render_gbuffer_window
     from ..models.svgf import demodulate, remodulate
 
@@ -416,7 +443,8 @@ def pipeline_local(
 
     work = gbuf.replace(render=demodulate(gbuf.render, gbuf.albedo)) if demod else gbuf
     integrated, variance, new_history = temporal_accumulate_local(
-        work, history, Hg, Wg, params=svgf_params)
+        work, history, Hg, Wg, params=svgf_params, impl=temporal_impl,
+        interpret=interpret)
     filtered, _v, feedback = svgf_spatial_local(
         integrated, variance, gbuf.normal, gbuf.depth, Hg, Wg,
         params=svgf_params, return_feedback=True, impl=impl,
@@ -430,7 +458,8 @@ def make_sharded_pipeline(
     mesh: Mesh, Hg: int, Wg: int,
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
     svgf_params: SVGFParams, spp: int = 1,
-    impl: str = "oracle", interpret: bool = False,
+    impl: str = "oracle", temporal_impl: str = "auto",
+    interpret: bool = False,
 ):
     """Build a jitted sharded (render + denoise) frame function.
 
@@ -445,7 +474,7 @@ def make_sharded_pipeline(
     fn = functools.partial(
         pipeline_local, Hg=Hg, Wg=Wg, cam_cfg=cam_cfg,
         rm_params=rm_params, svgf_params=svgf_params, spp=spp,
-        impl=impl, interpret=interpret)
+        impl=impl, temporal_impl=temporal_impl, interpret=interpret)
 
     sharded = shard_map(
         fn, mesh=mesh,
@@ -497,7 +526,7 @@ def make_sharded_train_step(
             scene, camera, None, history, key,
             target.shape[-2], target.shape[-1],
             cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params,
-            impl=impl, interpret=interpret)
+            impl=impl, temporal_impl="oracle", interpret=interpret)
         # mean over the full image = psum of tile sums / global pixel count
         sse = jnp.sum((out.denoised - target_tile) ** 2)
         loss = lax.psum(lax.psum(sse, "y"), "x") / (3 * target.shape[-2] * target.shape[-1])

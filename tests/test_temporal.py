@@ -235,3 +235,44 @@ def test_temporal_pallas_requires_bounded_motion(rng):
     with pytest.raises(ValueError, match="max_motion"):
         temporal_accumulate_pallas(g, _warm_history(g),
                                    params=SVGFParams(max_motion=None))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.parametrize("mag", [1.3, 6.5])
+def test_sharded_temporal_pallas_kernel_parity(rng, mag):
+    """The fused temporal band kernel inside shard_map (halo-exchanged
+    tiles, global-coordinate masks) matches the single-device oracle —
+    accepted and rejected (boundary) motion magnitudes."""
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.parallel.mesh import make_mesh
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_local, PLANE, PLANES,
+    )
+
+    H = W = 32
+    motion = jnp.zeros((2, H, W)).at[0].set(-mag).at[1].set(mag * 0.7)
+    g = _gbuf(rng, H, W, motion=motion)
+    hist = _warm_history(g).replace(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)))
+    params = SVGFParams(history_clamp=True, max_motion=6)
+
+    want_c, want_v, want_h = temporal_accumulate(g, hist, params=params)
+
+    mesh = make_mesh(4)
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=None)
+    h_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                      prev_depth=PLANE, prev_normal=PLANES)
+    fn = shard_map(
+        lambda gb, h: temporal_accumulate_local(
+            gb, h, H, W, params=params, impl="pallas", interpret=True),
+        mesh=mesh, in_specs=(gb_specs, h_specs),
+        out_specs=(PLANES, PLANE, h_specs), check_vma=False)
+    got_c, got_v, got_h = fn(g.replace(denoised=None), hist)
+
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h.length),
+                               np.asarray(want_h.length))

@@ -116,8 +116,10 @@ def sweep_th():
     zgrad = finite_diff_gradients(depth)
     sden = params.sigma_color * jnp.sqrt(
         jnp.maximum(variance_blur3x3(variance), 0.0)) + _EPS
-    for lvl in (0, 4):
-        for th in (None, 72, 136, 216, 360):
+    norm = jnp.ones((H, W), jnp.float32)
+    gv = jnp.full((H, W), 0.1, jnp.float32)
+    for lvl in (0, 2, 4):
+        for th in (None, 40, 56, 72, 88, 104, 120):
             try:
                 def mk(n, lvl=lvl, th=th):
                     @jax.jit
@@ -133,6 +135,23 @@ def sweep_th():
                 print(f"fwd level {lvl} TH={th}: {dt*1e3:7.3f} ms", flush=True)
             except Exception as e:
                 print(f"fwd level {lvl} TH={th}: FAILED {str(e)[:80]}",
+                      flush=True)
+        for th in (None, 40, 56, 72, 88, 104, 120):
+            try:
+                def mkb(n, lvl=lvl, th=th):
+                    @jax.jit
+                    def f(g):
+                        def body(i, g):
+                            dcol, _dv = at.atrous_level_bwd_pallas(
+                                color, normal, depth, zgrad, sden, norm, g,
+                                gv, level=lvl, params=params, tile_rows=th)
+                            return dcol
+                        return jnp.sum(jax.lax.fori_loop(0, n, body, g))
+                    return f
+                dt = chain_time(mkb, color)
+                print(f"bwd level {lvl} TH={th}: {dt*1e3:7.3f} ms", flush=True)
+            except Exception as e:
+                print(f"bwd level {lvl} TH={th}: FAILED {str(e)[:80]}",
                       flush=True)
 
 
