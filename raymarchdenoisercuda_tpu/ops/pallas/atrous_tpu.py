@@ -152,7 +152,8 @@ def _col_roll(x: jax.Array, ox: int) -> jax.Array:
 def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                        params: SVGFParams, mode: str, n_hbm: int,
                        Wp: int = None, save_w: bool = False,
-                       dtype=jnp.float32, with_origin: bool = False):
+                       dtype=jnp.float32, with_origin: bool = False,
+                       row_base: int = 0, out_margin: int = None):
     """Build the fwd or bwd kernel body for one à-trous level.
 
     Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad + inv-sigma
@@ -189,6 +190,14 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
     c_s1 = params.sigma_normal * _LOG2E * 0.5
     c_s2 = params.sigma_normal * _LOG2E * 0.125
 
+    # canvas mode (out_margin set): outputs live whole in HBM with an
+    # ``out_margin``-row zero margin top+bottom; the kernel writes its center
+    # band via manual DMA and zeroes the margins from band 0, so the output
+    # can be consumed *directly* as the next level's haloed input (row_base =
+    # margin − next halo).  This removes every inter-level pad/crop copy of
+    # the sweep (the round-2 pad-fold lever, VERDICT next-step #1).
+    n_out_arr = (3 if mode == "fwd" else 2) if out_margin is not None else 0
+
     def kernel(*refs):
         if with_origin:
             org_ref = refs[0]  # (2,) int32 SMEM: tile origin (row, col)
@@ -202,11 +211,23 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             if save_w:
                 wout_ref = refs[n_hbm + 5]
                 n_out = 6
-            scratch = refs[n_hbm + n_out:-1]
+            out_refs = (cout_ref, vout_ref, nout_ref)
         else:
             dcol_ref, dvar_ref = refs[n_hbm:n_hbm + 2]
-            scratch = refs[n_hbm + 2:-1]
-        sems = refs[-1]  # (2, n_hbm) DMA semaphores
+            n_out = 2
+            out_refs = (dcol_ref, dvar_ref)
+        if out_margin is None:
+            scratch = refs[n_hbm + n_out:-1]
+            sems = refs[-1]  # (2, n_hbm) DMA semaphores
+        else:
+            # scratch layout: staging tiles, stage sems, out tiles, zeros,
+            # write sems, margin sems
+            msem = refs[-1]
+            wsem = refs[-2]
+            zeros_ref = refs[-3]
+            out_tiles = refs[-3 - n_out_arr:-3]
+            sems = refs[-4 - n_out_arr]
+            scratch = refs[n_hbm + n_out:-4 - n_out_arr]
 
         b = pl.program_id(0)
         nb = pl.num_programs(0)
@@ -216,7 +237,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         # or right here for b==0) while prefetching band b+1 into the other
         # slot, overlapping the HBM reads with the tap loop's compute.
         def make_copies(slot, band):
-            row0 = pl.multiple_of(band * TH, 8)
+            row0 = pl.multiple_of(band * TH + row_base, 8)
             cps = []
             for i, (src, dst) in enumerate(zip(hbm, scratch)):
                 if src.ndim == 3:
@@ -229,6 +250,32 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                         sems.at[slot, i]))
             return cps
 
+        def out_row_slice(ref, row0, size):
+            if ref.ndim == 3:
+                return ref.at[:, pl.ds(row0, size), :]
+            return ref.at[pl.ds(row0, size), :]
+
+        def make_out_copies(slot, band):
+            row0 = pl.multiple_of(out_margin + band * TH, 8)
+            return [
+                pltpu.make_async_copy(t.at[slot],
+                                      out_row_slice(ref, row0, TH),
+                                      wsem.at[slot, j])
+                for j, (t, ref) in enumerate(zip(out_tiles, out_refs))
+            ]
+
+        def make_margin_copies():
+            bot = pl.multiple_of(out_margin + nb * TH, 8)
+            cps = []
+            for j, ref in enumerate(out_refs):
+                zsrc = (zeros_ref.at[:ref.shape[0]] if ref.ndim == 3
+                        else zeros_ref.at[0])
+                cps.append(pltpu.make_async_copy(
+                    zsrc, out_row_slice(ref, 0, out_margin), msem.at[j, 0]))
+                cps.append(pltpu.make_async_copy(
+                    zsrc, out_row_slice(ref, bot, out_margin), msem.at[j, 1]))
+            return cps
+
         slot = jax.lax.rem(b, 2)
         nslot = jax.lax.rem(b + 1, 2)
 
@@ -236,6 +283,20 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         def _():
             for cp in make_copies(0, 0):
                 cp.start()
+
+        if out_margin is not None:
+            @pl.when(b == 0)
+            def _():
+                zeros_ref[...] = jnp.zeros_like(zeros_ref)
+                for cp in make_margin_copies():
+                    cp.start()
+
+            # slot's previous write (band b-2) must land before we overwrite
+            # its out tiles
+            @pl.when(b >= 2)
+            def _():
+                for cp in make_out_copies(slot, b - 2):
+                    cp.wait()
 
         @pl.when(b + 1 < nb)
         def _():
@@ -408,12 +469,31 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         if mode == "fwd":
             den = jnp.maximum(den, _EPS)
             inv_den = _recip(den)
-            cout_ref[:] = acc_c * inv_den[None]
-            vout_ref[:] = acc_v * (inv_den * inv_den)
-            nout_ref[:] = den
+            results = (acc_c * inv_den[None], acc_v * (inv_den * inv_den),
+                       den)
         else:
-            dcol_ref[:] = acc_c
-            dvar_ref[:] = acc_v
+            results = (acc_c, acc_v)
+
+        if out_margin is None:
+            for ref, val in zip(out_refs, results):
+                ref[:] = val
+        else:
+            for t, val in zip(out_tiles, results):
+                t[slot] = val
+            for cp in make_out_copies(slot, b):
+                cp.start()
+
+            @pl.when(b == nb - 1)
+            def _():
+                for cp in make_out_copies(slot, b):
+                    cp.wait()
+                for cp in make_margin_copies():
+                    cp.wait()
+
+            @pl.when(jnp.logical_and(b == nb - 1, nb > 1))
+            def _():
+                for cp in make_out_copies(nslot, b - 1):
+                    cp.wait()
 
     return kernel
 
@@ -803,15 +883,22 @@ atrous_level.defvjp(_atrous_fwd, _atrous_bwd)
 
 @functools.partial(jax.jit, static_argnames=("params", "return_feedback",
                                               "interpret", "precision",
-                                              "weight_grads"))
+                                              "weight_grads", "chained",
+                                              "tile_rows"))
 def svgf_spatial_pallas(
     color, variance, normal, depth,
     *, params: SVGFParams = SVGFParams(), return_feedback: bool = False,
     interpret: bool = False, precision: str = "f32",
-    weight_grads: bool = False,
+    weight_grads: bool = False, chained: bool = True, tile_rows: int = None,
 ):
     """Full multi-level à-trous sweep on TPU (drop-in for ``svgf_spatial_ref``
     with ``detach_weights=True``).
+
+    The default f32 detached path runs canvas-chained (``chained=True``):
+    levels communicate through halo-margin canvases with zero inter-level
+    pad/crop copies; results are bit-identical to the per-level path
+    (``chained=False``), which remains for the bf16 and weight-grads modes
+    and for A/B timing.
 
     ``precision="bf16"`` runs the kernels' staged planes and tap math in
     bfloat16 with f32 accumulators — ~half the VPU byte movement for a
@@ -823,6 +910,14 @@ def svgf_spatial_pallas(
     sigma denominator keeps its dependence on the filtered variance so
     XLA backpropagates the blur/sqrt chain into d_variance.
     """
+    if (chained and not weight_grads and precision == "f32"
+            and params.iterations > 0):
+        c, v, feedback = _svgf_chained(
+            color, variance, normal, depth, (params, interpret, tile_rows))
+        if return_feedback:
+            return c, v, feedback
+        return c, v
+
     zgrad = finite_diff_gradients(depth)
     c, v = color, variance
     feedback = color
@@ -1334,3 +1429,223 @@ def _atrous_tile_bwd(level, params, bounds, interpret, res, g):
 
 
 atrous_level_tile.defvjp(_atrous_tile_fwd, _atrous_tile_bwd)
+
+
+# ---------------------------------------------------------------------------
+# canvas-chained sweep: pad once, chain all levels through halo-margin
+# canvases (no inter-level pad/crop copies)
+# ---------------------------------------------------------------------------
+#
+# A "canvas" is a plane stored as (2M + H_pad, Wp): M zero margin rows top and
+# bottom around H_pad center rows (image rows [0, H) plus finite compute
+# overhang up to H_pad), lanes padded to Wp.  M covers the deepest level's
+# halo, so every level's kernel stages its haloed band straight from the
+# previous level's output canvas (row_base = M − halo) and writes its own
+# output canvas via manual DMA (margins zeroed from band 0).  At 1080p this
+# removes ~10 full-plane HBM round-trips per level that the per-level wrappers
+# spend in `_pad_rows_halo`/crop (measured in tools/pad_probe.py).  Results
+# are bit-identical to the per-level path: the canvases hold exactly the
+# zero-padded arrays the wrappers used to rebuild each level.
+
+
+def _canvas_pad(x: jax.Array, M: int, H_pad: int, Wp: int) -> jax.Array:
+    H, W = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(M, H_pad - H + M), (0, Wp - W)]
+    return jnp.pad(x, pad)
+
+
+def _canvas_crop(x: jax.Array, M: int, H: int, W: int) -> jax.Array:
+    idx = [slice(None)] * (x.ndim - 2) + [slice(M, M + H), slice(0, W)]
+    return x[tuple(idx)]
+
+
+def _chain_margin(params: SVGFParams) -> int:
+    return _round_up(params.radius << max(params.iterations - 1, 0), 8)
+
+
+def _chain_tiles(H: int, Wp: int, params: SVGFParams,
+                 tile_rows: int = None) -> Tuple[int, int, int]:
+    """(TH_fwd, TH_bwd, H_pad): one uniform fwd tile height across levels
+    (sized for the deepest level's halo + the canvas out tiles), a bwd tile
+    height dividing the same H_pad, and the shared center height."""
+    M = _chain_margin(params)
+    n_taps = (2 * params.radius + 1) ** 2
+    th_f = tile_rows or _pick_tile_rows(
+        H, Wp, M, n_haloed_planes=16, n_center_planes=13,
+        n_temp_planes=3 * n_taps)
+    H_pad = _round_up(H, th_f)
+    cap_b = tile_rows or _pick_tile_rows(
+        H, Wp, M, n_haloed_planes=24, n_center_planes=8,
+        n_temp_planes=4 * n_taps)
+    th_b = 8
+    for t in range(min(cap_b, H_pad), 7, -8):
+        if H_pad % t == 0:
+            th_b = t
+            break
+    return th_f, th_b, H_pad
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "level", "params", "TH", "margin", "bounds", "interpret"))
+def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
+                            *, level: int, params: SVGFParams, TH: int,
+                            margin: int, bounds: Tuple[int, int],
+                            interpret: bool = False):
+    """One forward level, canvas in / canvas out.  Returns (colorC', varC',
+    normC) canvases.  ``zgrad_cb``/``isd2_cb`` are center-blocked
+    (…, H_pad, Wp) as in the per-level wrapper."""
+    H, W = bounds
+    CH, Wp = depthC.shape[-2:]
+    H_pad = CH - 2 * margin
+    spacing = 1 << level
+    halo_pad = _round_up(params.radius * spacing, 8)
+    grid = H_pad // TH
+    BLK = TH + 2 * halo_pad
+    kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
+                                n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
+                                out_margin=margin)
+    sds = jax.ShapeDtypeStruct
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[_hbm_spec()] * 4 + [_center_spec(2, TH, Wp),
+                                      _center_spec(None, TH, Wp)],
+        out_specs=(_hbm_spec(), _hbm_spec(), _hbm_spec()),
+        out_shape=(sds((3, CH, Wp), jnp.float32),
+                   sds((CH, Wp), jnp.float32),
+                   sds((CH, Wp), jnp.float32)),
+        scratch_shapes=_scratch_tiles((3, 3, None, None), BLK, Wp)
+        + [pltpu.SemaphoreType.DMA((2, 4))]
+        + [pltpu.VMEM((2, 3, TH, Wp), jnp.float32),
+           pltpu.VMEM((2, TH, Wp), jnp.float32),
+           pltpu.VMEM((2, TH, Wp), jnp.float32),
+           pltpu.VMEM((3, margin, Wp), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((2, 3)), pltpu.SemaphoreType.DMA((3, 2))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(colorC, normalC, depthC, varC, zgrad_cb, isd2_cb)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "level", "params", "TH", "margin", "bounds", "interpret"))
+def atrous_level_bwd_canvas(lumC, normalC, depthC, isd2C, zgradC, uC, u2C,
+                            *, level: int, params: SVGFParams, TH: int,
+                            margin: int, bounds: Tuple[int, int],
+                            interpret: bool = False):
+    """Detached adjoint, canvas in / canvas out.  Returns (dcolC, dvarC)."""
+    H, W = bounds
+    CH, Wp = depthC.shape[-2:]
+    H_pad = CH - 2 * margin
+    spacing = 1 << level
+    halo_pad = _round_up(params.radius * spacing, 8)
+    grid = H_pad // TH
+    BLK = TH + 2 * halo_pad
+    kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "bwd",
+                                n_hbm=7, Wp=Wp, row_base=margin - halo_pad,
+                                out_margin=margin)
+    sds = jax.ShapeDtypeStruct
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[_hbm_spec()] * 7,
+        out_specs=(_hbm_spec(), _hbm_spec()),
+        out_shape=(sds((3, CH, Wp), jnp.float32),
+                   sds((CH, Wp), jnp.float32)),
+        scratch_shapes=_scratch_tiles((None, 3, None, None, 2, 3, None),
+                                      BLK, Wp)
+        + [pltpu.SemaphoreType.DMA((2, 7))]
+        + [pltpu.VMEM((2, 3, TH, Wp), jnp.float32),
+           pltpu.VMEM((2, TH, Wp), jnp.float32),
+           pltpu.VMEM((3, margin, Wp), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((2, 2)), pltpu.SemaphoreType.DMA((2, 2))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(lumC, normalC, depthC, isd2C, zgradC, uC, u2C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _svgf_chained(color, variance, normal, depth, spec):
+    """spec = (params, interpret, tile_rows).  Returns (c, v, feedback);
+    detached-weights semantics (gradients reach color and variance only)."""
+    out, _ = _svgf_chained_fwd(color, variance, normal, depth, spec)
+    return out
+
+
+def _svgf_chained_fwd(color, variance, normal, depth, spec):
+    params, interpret, tile_rows = spec
+    H, W = depth.shape
+    Wp = _round_up(W, 128)
+    M = _chain_margin(params)
+    th_f, th_b, H_pad = _chain_tiles(H, Wp, params, tile_rows)
+    bounds = (H, W)
+
+    colorC = _canvas_pad(color, M, H_pad, Wp)
+    varC = _canvas_pad(variance, M, H_pad, Wp)
+    normalC = _canvas_pad(normal, M, H_pad, Wp)
+    depthC = _canvas_pad(depth, M, H_pad, Wp)
+    zgradC = _canvas_pad(finite_diff_gradients(depth), M, H_pad, Wp)
+    zgrad_cb = zgradC[:, M:M + H_pad, :]
+
+    cC, vC = colorC, varC
+    feedbackC = colorC
+    lvl_res = []
+    for lvl in range(params.iterations):
+        v_ctr = _canvas_crop(vC, M, H, W)
+        sden = params.sigma_color * jnp.sqrt(
+            jnp.maximum(variance_blur3x3(v_ctr), 0.0)) + _EPS
+        isd2C = _canvas_pad(_LOG2E / jnp.maximum(sden, _EPS), M, H_pad, Wp)
+        cC_next, vC_next, nC = atrous_level_fwd_canvas(
+            cC, vC, normalC, depthC, zgrad_cb, isd2C[M:M + H_pad, :],
+            level=lvl, params=params, TH=th_f, margin=M, bounds=bounds,
+            interpret=interpret)
+        lvl_res.append((cC, isd2C, nC))
+        cC, vC = cC_next, vC_next
+        if lvl + 1 == params.feedback_level:
+            feedbackC = cC
+
+    out = (_canvas_crop(cC, M, H, W), _canvas_crop(vC, M, H, W),
+           _canvas_crop(feedbackC, M, H, W))
+    res = (tuple(lvl_res), normalC, depthC, zgradC)
+    return out, res
+
+
+def _svgf_chained_bwd(spec, res, g):
+    params, interpret, tile_rows = spec
+    lvl_res, normalC, depthC, zgradC = res
+    gc, gv, gfeed = g
+    H, W = gv.shape
+    Wp = _round_up(W, 128)
+    M = _chain_margin(params)
+    _, th_b, H_pad = _chain_tiles(H, Wp, params, tile_rows)
+    bounds = (H, W)
+
+    gcC = _canvas_pad(gc, M, H_pad, Wp)
+    gvC = _canvas_pad(gv, M, H_pad, Wp)
+    gfeedC = _canvas_pad(gfeed, M, H_pad, Wp)
+    feed_used = 1 <= params.feedback_level <= params.iterations
+
+    for lvl in reversed(range(params.iterations)):
+        if feed_used and lvl + 1 == params.feedback_level:
+            gcC = gcC + gfeedC
+        cC, isd2C, nC = lvl_res[lvl]
+        # explicit FMA chain (NOT einsum/dot): must round exactly like the
+        # per-level path's luminance so the recomputed weights are bit-equal
+        lumC = (_LUMA[0] * cC[0] + _LUMA[1] * cC[1] + _LUMA[2] * cC[2])
+        invnC = 1.0 / jnp.maximum(nC, _EPS)
+        uC = gcC * invnC[None]
+        u2C = gvC * (invnC * invnC)
+        gcC, gvC = atrous_level_bwd_canvas(
+            lumC, normalC, depthC, isd2C, zgradC, uC, u2C,
+            level=lvl, params=params, TH=th_b, margin=M, bounds=bounds,
+            interpret=interpret)
+
+    d_color = _canvas_crop(gcC, M, H, W)
+    if not feed_used:
+        d_color = d_color + gfeed
+    d_variance = _canvas_crop(gvC, M, H, W)
+    return (d_color, d_variance,
+            jnp.zeros_like(_canvas_crop(normalC, M, H, W)),
+            jnp.zeros_like(_canvas_crop(depthC, M, H, W)))
+
+
+_svgf_chained.defvjp(_svgf_chained_fwd, _svgf_chained_bwd)

@@ -197,3 +197,32 @@ def test_weight_grads_differ_from_detached(rng):
     g_det = jax.grad(lambda c: loss(c, False))(color)
     g_full = jax.grad(lambda c: loss(c, True))(color)
     assert np.abs(np.asarray(g_det) - np.asarray(g_full)).max() > 1e-5
+
+
+def test_chained_sweep_bit_exact_vs_per_level(rng):
+    """Canvas-chained sweep (pad-once, canvas in/out DMA) must be
+    bit-identical to the per-level wrapper path — the canvases hold exactly
+    the zero-padded arrays the per-level path rebuilds each level."""
+    color, variance, normal, depth = _scene(rng, 65, 130)
+    params = SVGFParams(iterations=5, feedback_level=2)
+
+    def run(chained):
+        return svgf_spatial_pallas(color, variance, normal, depth,
+                                   params=params, interpret=True,
+                                   chained=chained, return_feedback=True)
+
+    for a, b in zip(run(True), run(False)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(c, v, chained):
+        oc, ov, fb = svgf_spatial_pallas(c, v, normal, depth, params=params,
+                                         interpret=True, chained=chained,
+                                         return_feedback=True)
+        return jnp.sum(oc ** 2) + jnp.sum(ov) + 0.5 * jnp.sum(fb ** 2)
+
+    gch = jax.grad(lambda c, v: loss(c, v, True), argnums=(0, 1))(
+        color, variance)
+    gpl = jax.grad(lambda c, v: loss(c, v, False), argnums=(0, 1))(
+        color, variance)
+    for a, b in zip(gch, gpl):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
