@@ -64,7 +64,7 @@ def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=3):
 
 
 def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
-                       precision="f32"):
+                       precision="f32", bwd_impl="stored"):
     """North-star config: SVGF fwd+bwd at 1080p, 5 levels."""
     import functools
     import jax
@@ -76,7 +76,8 @@ def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
 
     if impl == "pallas":
         from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas
-        spatial = functools.partial(svgf_spatial_pallas, precision=precision)
+        spatial = functools.partial(svgf_spatial_pallas, precision=precision,
+                                    bwd_impl=bwd_impl)
     else:
         from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
         spatial = functools.partial(svgf_spatial_ref, detach_weights=True)
@@ -239,11 +240,15 @@ def main():
                          "not compile on current Mosaic — see ROADMAP.md)")
     ap.add_argument("--repeats", type=int, default=20)
     ap.add_argument("--csv", default=None, help="append timings to CSV")
+    ap.add_argument("--bwd", default="stored",
+                    choices=["stored", "stored_f32", "recompute"],
+                    help="chained detached-adjoint strategy (fwd_bwd config)")
     args = ap.parse_args()
 
     if args.config == "fwd_bwd_1080p":
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats,
-                                       precision=args.precision)
+                                       precision=args.precision,
+                                       bwd_impl=args.bwd)
         metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision})"
     elif args.config == "fwd_1080p":
         value, dt = bench_svgf_fwd(repeats=args.repeats,

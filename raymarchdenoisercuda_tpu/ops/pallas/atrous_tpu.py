@@ -153,7 +153,8 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                        params: SVGFParams, mode: str, n_hbm: int,
                        Wp: int = None, save_w: bool = False,
                        dtype=jnp.float32, with_origin: bool = False,
-                       row_base: int = 0, out_margin: int = None):
+                       row_base: int = 0, out_margin: int = None,
+                       w_dtype=jnp.float32):
     """Build the fwd or bwd kernel body for one à-trous level.
 
     Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad + inv-sigma
@@ -196,7 +197,13 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
     # can be consumed *directly* as the next level's haloed input (row_base =
     # margin − next halo).  This removes every inter-level pad/crop copy of
     # the sweep (the round-2 pad-fold lever, VERDICT next-step #1).
-    n_out_arr = (3 if mode == "fwd" else 2) if out_margin is not None else 0
+    canvas_w = save_w and out_margin is not None
+    if out_margin is None:
+        n_out_arr = 0
+    elif mode == "fwd":
+        n_out_arr = 4 if canvas_w else 3
+    else:  # "bwd" / "stored"
+        n_out_arr = 2
 
     def kernel(*refs):
         if with_origin:
@@ -208,10 +215,12 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             zgrad_ref, isd2_ref, cout_ref, vout_ref, nout_ref = (
                 refs[n_hbm:n_hbm + 5])
             n_out = 5
+            out_refs = (cout_ref, vout_ref, nout_ref)
             if save_w:
                 wout_ref = refs[n_hbm + 5]
                 n_out = 6
-            out_refs = (cout_ref, vout_ref, nout_ref)
+                if canvas_w:
+                    out_refs = out_refs + (wout_ref,)
         else:
             dcol_ref, dvar_ref = refs[n_hbm:n_hbm + 2]
             n_out = 2
@@ -220,14 +229,17 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             scratch = refs[n_hbm + n_out:-1]
             sems = refs[-1]  # (2, n_hbm) DMA semaphores
         else:
-            # scratch layout: staging tiles, stage sems, out tiles, zeros,
-            # write sems, margin sems
+            # scratch layout: staging tiles, stage sems, out tiles, zeros
+            # (+ w-dtype zeros when the weight canvas is emitted), write sems,
+            # margin sems
             msem = refs[-1]
             wsem = refs[-2]
-            zeros_ref = refs[-3]
-            out_tiles = refs[-3 - n_out_arr:-3]
-            sems = refs[-4 - n_out_arr]
-            scratch = refs[n_hbm + n_out:-4 - n_out_arr]
+            nz = 2 if canvas_w else 1
+            zeros_refs = refs[-2 - nz:-2]
+            zeros_ref = zeros_refs[0]
+            out_tiles = refs[-2 - nz - n_out_arr:-2 - nz]
+            sems = refs[-3 - nz - n_out_arr]
+            scratch = refs[n_hbm + n_out:-3 - nz - n_out_arr]
 
         b = pl.program_id(0)
         nb = pl.num_programs(0)
@@ -268,8 +280,8 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             bot = pl.multiple_of(out_margin + nb * TH, 8)
             cps = []
             for j, ref in enumerate(out_refs):
-                zsrc = (zeros_ref.at[:ref.shape[0]] if ref.ndim == 3
-                        else zeros_ref.at[0])
+                z = zeros_refs[1] if (canvas_w and j == 3) else zeros_ref
+                zsrc = (z.at[:ref.shape[0]] if ref.ndim == 3 else z.at[0])
                 cps.append(pltpu.make_async_copy(
                     zsrc, out_row_slice(ref, 0, out_margin), msem.at[j, 0]))
                 cps.append(pltpu.make_async_copy(
@@ -287,7 +299,8 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         if out_margin is not None:
             @pl.when(b == 0)
             def _():
-                zeros_ref[...] = jnp.zeros_like(zeros_ref)
+                for z in zeros_refs:
+                    z[...] = jnp.zeros_like(z)
                 for cp in make_margin_copies():
                     cp.start()
 
@@ -316,6 +329,57 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             gx = gx + org_ref[1]
 
         tiles = [s[slot] for s in scratch]
+        if mode == "stored":
+            # FMA-only adjoint against the forward's stored weight planes:
+            # no edge-stopping math, no masks (stored weights are zero at
+            # image borders by the forward's mask factor, and the canvas
+            # margins are zeroed).  ``u``/``u2`` are derived on the haloed
+            # band in VMEM (taps read them at shifted centers).
+            w_t, norm_t, gc_t, gv_t = tiles
+            inv_n = _recip(jnp.maximum(norm_t, _EPS))
+            u_t = gc_t * inv_n[None]
+            u2_t = gv_t * (inv_n * inv_n)
+            acc_c = jnp.zeros((3, TH, Wp), jnp.float32)
+            acc_v = jnp.zeros((TH, Wp), jnp.float32)
+            _rolled = {}
+
+            def shifted_s(x, oy, ox):
+                key = (id(x), ox)
+                if key not in _rolled:
+                    _rolled[key] = _col_roll(x, ox)
+                return _rows(_rolled[key], C + oy, TH)
+
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    k = (dy + r) * (2 * r + 1) + (dx + r)
+                    # center p = x - d: shift by -d (16-bit lane rotates are
+                    # unimplemented on current Mosaic — convert first)
+                    oy, ox = -dy * spacing, -dx * spacing
+                    wsh = _rows(_col_roll(
+                        w_t[k].astype(jnp.float32), ox), C + oy, TH)
+                    acc_c = acc_c + wsh[None] * shifted_s(u_t, oy, ox)
+                    acc_v = acc_v + (wsh * wsh) * shifted_s(u2_t, oy, ox)
+
+            results = (acc_c, acc_v)
+            for t, val in zip(out_tiles, results):
+                t[slot] = val
+            for cp in make_out_copies(slot, b):
+                cp.start()
+
+            @pl.when(b == nb - 1)
+            def _():
+                for cp in make_out_copies(slot, b):
+                    cp.wait()
+                for cp in make_margin_copies():
+                    cp.wait()
+
+            @pl.when(jnp.logical_and(b == nb - 1, nb > 1))
+            def _():
+                for cp in make_out_copies(nslot, b - 1):
+                    cp.wait()
+
+            return
+
         if mode == "fwd":
             color_t, normal_t, depth_t, var_t = tiles
             zg = zgrad_ref[:]        # (2, TH, W) center rows
@@ -438,8 +502,11 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                     w = edge_weight(wz2, wl2, n_c, n_q, h * fm)
                     if save_w:
                         # residual for the stored-weight backward kernel
-                        wout_ref[(dy + r) * (2 * r + 1) + (dx + r)] = (
-                            w.astype(jnp.float32))
+                        k = (dy + r) * (2 * r + 1) + (dx + r)
+                        if canvas_w:
+                            out_tiles[3][slot, k] = w.astype(w_dtype)
+                        else:
+                            wout_ref[k] = w.astype(jnp.float32)
 
                     acc_c = acc_c + w[None] * c_q
                     acc_v = acc_v + (w * w) * v_q
@@ -884,12 +951,13 @@ atrous_level.defvjp(_atrous_fwd, _atrous_bwd)
 @functools.partial(jax.jit, static_argnames=("params", "return_feedback",
                                               "interpret", "precision",
                                               "weight_grads", "chained",
-                                              "tile_rows"))
+                                              "tile_rows", "bwd_impl"))
 def svgf_spatial_pallas(
     color, variance, normal, depth,
     *, params: SVGFParams = SVGFParams(), return_feedback: bool = False,
     interpret: bool = False, precision: str = "f32",
     weight_grads: bool = False, chained: bool = True, tile_rows: int = None,
+    bwd_impl: str = "stored",
 ):
     """Full multi-level à-trous sweep on TPU (drop-in for ``svgf_spatial_ref``
     with ``detach_weights=True``).
@@ -909,11 +977,24 @@ def svgf_spatial_pallas(
     edge-stopping weights into the guidance planes, and the per-level
     sigma denominator keeps its dependence on the filtered variance so
     XLA backpropagates the blur/sqrt chain into d_variance.
+
+    ``bwd_impl`` picks the chained path's detached adjoint strategy:
+    ``"stored"`` (default) has the forward emit its 25 weight planes in
+    bfloat16 and runs the FMA-only stored-weight backward (DMA-bound;
+    measured 269.7 vs 212.0 Mpix/s fwd+bwd at 1080p vs recomputation —
+    gradients carry the bf16 weight quantization, ≤0.1% relative);
+    ``"stored_f32"`` stores them in f32 (recip-ulp-level match to
+    ``"recompute"``, twice the weight traffic); ``"recompute"`` re-derives
+    the weights in the backward kernel (the round-1 strategy — exact
+    transposed-stencil adjoint of the forward's weights, no storage).
     """
+    if bwd_impl not in ("stored", "stored_f32", "recompute"):
+        raise ValueError(f"unknown bwd_impl: {bwd_impl!r}")
     if (chained and not weight_grads and precision == "f32"
             and params.iterations > 0):
         c, v, feedback = _svgf_chained(
-            color, variance, normal, depth, (params, interpret, tile_rows))
+            color, variance, normal, depth,
+            (params, interpret, tile_rows, bwd_impl))
         if return_feedback:
             return c, v, feedback
         return c, v
@@ -1464,36 +1545,67 @@ def _chain_margin(params: SVGFParams) -> int:
 
 
 def _chain_tiles(H: int, Wp: int, params: SVGFParams,
-                 tile_rows: int = None) -> Tuple[int, int, int]:
+                 tile_rows: int = None,
+                 bwd_impl: str = "recompute") -> Tuple[int, int, int]:
     """(TH_fwd, TH_bwd, H_pad): one uniform fwd tile height across levels
     (sized for the deepest level's halo + the canvas out tiles), a bwd tile
-    height dividing the same H_pad, and the shared center height."""
+    height dividing the same H_pad, and the shared center height.
+
+    th_b must divide H_pad = round_up(H, th_f), so the two are chosen
+    *jointly*: the VMEM caps alone can land on an H_pad with no good bwd
+    divisor (1080 -> th_f 64 -> H_pad 1088 = 2^6·17 -> th_b 32, which
+    doubles the deep levels' staged halo overdraw).  Score = total staged
+    DMA rows over all levels fwd+bwd plus a small per-band constant (mask
+    and iota setup are per-band VPU costs)."""
     M = _chain_margin(params)
     n_taps = (2 * params.radius + 1) ** 2
-    th_f = tile_rows or _pick_tile_rows(
-        H, Wp, M, n_haloed_planes=16, n_center_planes=13,
+    w_planes = 0 if bwd_impl == "recompute" else (
+        n_taps if bwd_impl == "stored_f32" else -(-n_taps // 2))
+    cap_f = tile_rows or _pick_tile_rows(
+        H, Wp, M, n_haloed_planes=16, n_center_planes=13 + w_planes,
         n_temp_planes=3 * n_taps)
-    H_pad = _round_up(H, th_f)
-    cap_b = tile_rows or _pick_tile_rows(
-        H, Wp, M, n_haloed_planes=24, n_center_planes=8,
-        n_temp_planes=4 * n_taps)
-    th_b = 8
-    for t in range(min(cap_b, H_pad), 7, -8):
-        if H_pad % t == 0:
-            th_b = t
-            break
+    if bwd_impl == "recompute":
+        cap_b = tile_rows or _pick_tile_rows(
+            H, Wp, M, n_haloed_planes=24, n_center_planes=8,
+            n_temp_planes=4 * n_taps)
+    else:
+        cap_b = tile_rows or _pick_tile_rows(
+            H, Wp, M, n_haloed_planes=2 * (w_planes + 5), n_center_planes=4,
+            n_temp_planes=2 * n_taps)
+    halos = [_round_up(params.radius << l, 8)
+             for l in range(max(params.iterations, 1))]
+    best = None
+    for tf in range(cap_f, 7, -8):
+        H_pad = _round_up(H, tf)
+        tb = None
+        for t in range(min(cap_b, H_pad), 7, -8):
+            if H_pad % t == 0:
+                tb = t
+                break
+        if tb is None:
+            continue
+        gf, gb = H_pad // tf, H_pad // tb
+        cost = sum(gf * (tf + 2 * h + 8) + gb * (tb + 2 * h + 8)
+                   for h in halos)
+        if best is None or cost < best[0]:
+            best = (cost, tf, tb, H_pad)
+    _, th_f, th_b, H_pad = best
     return th_f, th_b, H_pad
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "level", "params", "TH", "margin", "bounds", "interpret"))
+    "level", "params", "TH", "margin", "bounds", "interpret", "save_w_dtype"))
 def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
                             *, level: int, params: SVGFParams, TH: int,
                             margin: int, bounds: Tuple[int, int],
-                            interpret: bool = False):
+                            interpret: bool = False, save_w_dtype=None):
     """One forward level, canvas in / canvas out.  Returns (colorC', varC',
-    normC) canvases.  ``zgrad_cb``/``isd2_cb`` are center-blocked
-    (…, H_pad, Wp) as in the per-level wrapper."""
+    normC) canvases — plus, with ``save_w_dtype`` set, the (n_taps, CH, Wp)
+    stored-weight canvas the stored backward consumes (bf16 storage halves
+    its HBM traffic; the weights are in [0, 1] so the 2^-8 relative
+    quantization is benign — tests/test_atrous_pallas.py bounds it).
+    ``zgrad_cb``/``isd2_cb`` are center-blocked (…, H_pad, Wp) as in the
+    per-level wrapper."""
     H, W = bounds
     CH, Wp = depthC.shape[-2:]
     H_pad = CH - 2 * margin
@@ -1501,26 +1613,39 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     halo_pad = _round_up(params.radius * spacing, 8)
     grid = H_pad // TH
     BLK = TH + 2 * halo_pad
+    save_w = save_w_dtype is not None
+    n_taps = (2 * params.radius + 1) ** 2
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
                                 n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
-                                out_margin=margin)
+                                out_margin=margin, save_w=save_w,
+                                w_dtype=save_w_dtype)
     sds = jax.ShapeDtypeStruct
+    n_out = 4 if save_w else 3
+    out_shape = [sds((3, CH, Wp), jnp.float32),
+                 sds((CH, Wp), jnp.float32),
+                 sds((CH, Wp), jnp.float32)]
+    w_tiles, w_zeros = [], []
+    if save_w:
+        out_shape.append(sds((n_taps, CH, Wp), save_w_dtype))
+        w_tiles = [pltpu.VMEM((2, n_taps, TH, Wp), save_w_dtype)]
+        w_zeros = [pltpu.VMEM((n_taps, margin, Wp), save_w_dtype)]
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[_hbm_spec()] * 4 + [_center_spec(2, TH, Wp),
                                       _center_spec(None, TH, Wp)],
-        out_specs=(_hbm_spec(), _hbm_spec(), _hbm_spec()),
-        out_shape=(sds((3, CH, Wp), jnp.float32),
-                   sds((CH, Wp), jnp.float32),
-                   sds((CH, Wp), jnp.float32)),
+        out_specs=(_hbm_spec(),) * n_out,
+        out_shape=tuple(out_shape),
         scratch_shapes=_scratch_tiles((3, 3, None, None), BLK, Wp)
         + [pltpu.SemaphoreType.DMA((2, 4))]
         + [pltpu.VMEM((2, 3, TH, Wp), jnp.float32),
            pltpu.VMEM((2, TH, Wp), jnp.float32),
-           pltpu.VMEM((2, TH, Wp), jnp.float32),
-           pltpu.VMEM((3, margin, Wp), jnp.float32)]
-        + [pltpu.SemaphoreType.DMA((2, 3)), pltpu.SemaphoreType.DMA((3, 2))],
+           pltpu.VMEM((2, TH, Wp), jnp.float32)]
+        + w_tiles
+        + [pltpu.VMEM((3, margin, Wp), jnp.float32)]
+        + w_zeros
+        + [pltpu.SemaphoreType.DMA((2, n_out)),
+           pltpu.SemaphoreType.DMA((n_out, 2))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(colorC, normalC, depthC, varC, zgrad_cb, isd2_cb)
@@ -1563,6 +1688,53 @@ def atrous_level_bwd_canvas(lumC, normalC, depthC, isd2C, zgradC, uC, u2C,
     )(lumC, normalC, depthC, isd2C, zgradC, uC, u2C)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "level", "params", "TH", "margin", "bounds", "interpret"))
+def atrous_level_bwd_stored_canvas(wC, normC, gcC, gvC,
+                                   *, level: int, params: SVGFParams, TH: int,
+                                   margin: int, bounds: Tuple[int, int],
+                                   interpret: bool = False):
+    """Stored-weight detached adjoint, canvas in / canvas out.
+
+    Consumes the forward's (n_taps, CH, Wp) weight canvas instead of
+    re-deriving the edge-stopping math: 25 shifted FMAs (DMA-bound) versus
+    the recompute kernel's ~50-op/tap VPU chain (ALU-bound).  ``u = g/N``
+    and ``u2 = g_v/N²`` are derived in-kernel on the haloed band, removing
+    the per-level XLA elementwise passes.  Returns (dcolC, dvarC)."""
+    H, W = bounds
+    CH, Wp = normC.shape[-2:]
+    H_pad = CH - 2 * margin
+    spacing = 1 << level
+    halo_pad = _round_up(params.radius * spacing, 8)
+    grid = H_pad // TH
+    BLK = TH + 2 * halo_pad
+    n_taps = (2 * params.radius + 1) ** 2
+    w_dtype = wC.dtype
+    kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "stored",
+                                n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
+                                out_margin=margin, w_dtype=w_dtype)
+    sds = jax.ShapeDtypeStruct
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[_hbm_spec()] * 4,
+        out_specs=(_hbm_spec(), _hbm_spec()),
+        out_shape=(sds((3, CH, Wp), jnp.float32),
+                   sds((CH, Wp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((2, n_taps, BLK, Wp), w_dtype),
+                        pltpu.VMEM((2, BLK, Wp), jnp.float32),
+                        pltpu.VMEM((2, 3, BLK, Wp), jnp.float32),
+                        pltpu.VMEM((2, BLK, Wp), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((2, 4))]
+        + [pltpu.VMEM((2, 3, TH, Wp), jnp.float32),
+           pltpu.VMEM((2, TH, Wp), jnp.float32),
+           pltpu.VMEM((3, margin, Wp), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((2, 2)), pltpu.SemaphoreType.DMA((2, 2))],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(wC, normC, gcC, gvC)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _svgf_chained(color, variance, normal, depth, spec):
     """spec = (params, interpret, tile_rows).  Returns (c, v, feedback);
@@ -1572,12 +1744,14 @@ def _svgf_chained(color, variance, normal, depth, spec):
 
 
 def _svgf_chained_fwd(color, variance, normal, depth, spec):
-    params, interpret, tile_rows = spec
+    params, interpret, tile_rows, bwd_impl = spec
     H, W = depth.shape
     Wp = _round_up(W, 128)
     M = _chain_margin(params)
-    th_f, th_b, H_pad = _chain_tiles(H, Wp, params, tile_rows)
+    th_f, th_b, H_pad = _chain_tiles(H, Wp, params, tile_rows, bwd_impl)
     bounds = (H, W)
+    save_w_dtype = (None if bwd_impl == "recompute" else
+                    jnp.float32 if bwd_impl == "stored_f32" else jnp.bfloat16)
 
     colorC = _canvas_pad(color, M, H_pad, Wp)
     varC = _canvas_pad(variance, M, H_pad, Wp)
@@ -1594,29 +1768,38 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
         sden = params.sigma_color * jnp.sqrt(
             jnp.maximum(variance_blur3x3(v_ctr), 0.0)) + _EPS
         isd2C = _canvas_pad(_LOG2E / jnp.maximum(sden, _EPS), M, H_pad, Wp)
-        cC_next, vC_next, nC = atrous_level_fwd_canvas(
+        outs = atrous_level_fwd_canvas(
             cC, vC, normalC, depthC, zgrad_cb, isd2C[M:M + H_pad, :],
             level=lvl, params=params, TH=th_f, margin=M, bounds=bounds,
-            interpret=interpret)
-        lvl_res.append((cC, isd2C, nC))
+            interpret=interpret, save_w_dtype=save_w_dtype)
+        cC_next, vC_next, nC = outs[:3]
+        if save_w_dtype is not None:
+            lvl_res.append((outs[3], nC))
+        else:
+            lvl_res.append((cC, isd2C, nC))
         cC, vC = cC_next, vC_next
         if lvl + 1 == params.feedback_level:
             feedbackC = cC
 
     out = (_canvas_crop(cC, M, H, W), _canvas_crop(vC, M, H, W),
            _canvas_crop(feedbackC, M, H, W))
-    res = (tuple(lvl_res), normalC, depthC, zgradC)
+    if save_w_dtype is not None:
+        # stored backward needs no guidance canvases — only per-level
+        # (weights, norm); keep center-cropped normal/depth for zero-shaping
+        res = (tuple(lvl_res), None, None, None)
+    else:
+        res = (tuple(lvl_res), normalC, depthC, zgradC)
     return out, res
 
 
 def _svgf_chained_bwd(spec, res, g):
-    params, interpret, tile_rows = spec
+    params, interpret, tile_rows, bwd_impl = spec
     lvl_res, normalC, depthC, zgradC = res
     gc, gv, gfeed = g
     H, W = gv.shape
     Wp = _round_up(W, 128)
     M = _chain_margin(params)
-    _, th_b, H_pad = _chain_tiles(H, Wp, params, tile_rows)
+    _, th_b, H_pad = _chain_tiles(H, Wp, params, tile_rows, bwd_impl)
     bounds = (H, W)
 
     gcC = _canvas_pad(gc, M, H_pad, Wp)
@@ -1627,6 +1810,12 @@ def _svgf_chained_bwd(spec, res, g):
     for lvl in reversed(range(params.iterations)):
         if feed_used and lvl + 1 == params.feedback_level:
             gcC = gcC + gfeedC
+        if bwd_impl != "recompute":
+            wC, nC = lvl_res[lvl]
+            gcC, gvC = atrous_level_bwd_stored_canvas(
+                wC, nC, gcC, gvC, level=lvl, params=params, TH=th_b,
+                margin=M, bounds=bounds, interpret=interpret)
+            continue
         cC, isd2C, nC = lvl_res[lvl]
         # explicit FMA chain (NOT einsum/dot): must round exactly like the
         # per-level path's luminance so the recomputed weights are bit-equal
@@ -1644,8 +1833,8 @@ def _svgf_chained_bwd(spec, res, g):
         d_color = d_color + gfeed
     d_variance = _canvas_crop(gvC, M, H, W)
     return (d_color, d_variance,
-            jnp.zeros_like(_canvas_crop(normalC, M, H, W)),
-            jnp.zeros_like(_canvas_crop(depthC, M, H, W)))
+            jnp.zeros((3, H, W), jnp.float32),
+            jnp.zeros((H, W), jnp.float32))
 
 
 _svgf_chained.defvjp(_svgf_chained_fwd, _svgf_chained_bwd)

@@ -105,8 +105,10 @@ def test_vjp_multilevel_parity(rng):
         return jnp.sum(oc ** 2)
 
     def loss_pallas(c):
+        # recompute: the exact transposed-stencil adjoint (the stored-bf16
+        # default is covered by test_chained_stored_bwd_matches_recompute)
         oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params,
-                                    interpret=True)
+                                    interpret=True, bwd_impl="recompute")
         return jnp.sum(oc ** 2)
 
     g_w = jax.grad(loss_oracle)(color)
@@ -215,9 +217,12 @@ def test_chained_sweep_bit_exact_vs_per_level(rng):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
     def loss(c, v, chained):
+        # bwd_impl="recompute": the per-level path always recomputes, so the
+        # bit-exact gradient contract is against the recompute chained mode
         oc, ov, fb = svgf_spatial_pallas(c, v, normal, depth, params=params,
                                          interpret=True, chained=chained,
-                                         return_feedback=True)
+                                         return_feedback=True,
+                                         bwd_impl="recompute")
         return jnp.sum(oc ** 2) + jnp.sum(ov) + 0.5 * jnp.sum(fb ** 2)
 
     gch = jax.grad(lambda c, v: loss(c, v, True), argnums=(0, 1))(
@@ -226,3 +231,34 @@ def test_chained_sweep_bit_exact_vs_per_level(rng):
         color, variance)
     for a, b in zip(gch, gpl):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("bwd_impl,rtol", [("stored_f32", 2e-4),
+                                           ("stored", 3e-3)])
+def test_chained_stored_bwd_matches_recompute(rng, bwd_impl, rtol):
+    """Stored-weight chained backward (fwd emits the 25 weight planes; bwd is
+    FMA-only) must match the recompute backward: f32 storage to ~recip-ulp
+    (the only differences are the in-kernel Newton reciprocal for 1/N and
+    the weight-store roundtrip), bf16 storage to the 2^-8 weight
+    quantization."""
+    color, variance, normal, depth = _scene(rng, 48, 130)
+    params = SVGFParams(iterations=3, feedback_level=1)
+
+    def loss(c, v, impl):
+        oc, ov = svgf_spatial_pallas(c, v, normal, depth, params=params,
+                                     interpret=True, bwd_impl=impl)
+        return jnp.sum(oc ** 2) + jnp.sum(ov * 1.7)
+
+    # primal is identical by construction (same forward kernel math)
+    l_rec = loss(color, variance, "recompute")
+    l_sto = loss(color, variance, bwd_impl)
+    assert float(jnp.abs(l_rec - l_sto)) == 0.0
+
+    g_rec = jax.grad(lambda c, v: loss(c, v, "recompute"), argnums=(0, 1))(
+        color, variance)
+    g_sto = jax.grad(lambda c, v: loss(c, v, bwd_impl), argnums=(0, 1))(
+        color, variance)
+    for a, b in zip(g_sto, g_rec):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=rtol)

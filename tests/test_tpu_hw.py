@@ -5,6 +5,8 @@ Skipped in the hermetic CPU suite (interpret-mode parity covers logic there;
 these validate the actual Mosaic-compiled kernels the benchmarks use).
 """
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -81,13 +83,19 @@ def test_vjp_compiled(rng):
                                  detach_weights=True)
         return jnp.sum(oc ** 2)
 
-    def loss_pallas(c):
-        oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params)
+    def loss_pallas(c, bwd_impl):
+        oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params,
+                                    bwd_impl=bwd_impl)
         return jnp.sum(oc ** 2)
 
     g_w = jax.grad(loss_oracle)(color)
-    g_g = jax.grad(loss_pallas)(color)
+    g_g = jax.grad(functools.partial(loss_pallas, bwd_impl="recompute"))(color)
     np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w), rtol=1e-3, atol=1e-5)
+    # production default (stored-bf16 weights): same adjoint up to the 2^-8
+    # weight quantization — compare scale-normalized
+    g_s = jax.grad(functools.partial(loss_pallas, bwd_impl="stored"))(color)
+    scale = float(np.abs(np.asarray(g_w)).max()) + 1e-30
+    assert np.abs(np.asarray(g_s) - np.asarray(g_w)).max() / scale < 3e-3
 
 
 @pytest.mark.parametrize("radius,depth_levels", [(2, 1), (2, 3)])
