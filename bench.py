@@ -64,7 +64,8 @@ def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=3):
 
 
 def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
-                       precision="f32", bwd_impl="stored"):
+                       precision="f32", bwd_impl="stored",
+                       weight_math="exact"):
     """North-star config: SVGF fwd+bwd at 1080p, 5 levels."""
     import functools
     import jax
@@ -77,7 +78,8 @@ def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
     if impl == "pallas":
         from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas
         spatial = functools.partial(svgf_spatial_pallas, precision=precision,
-                                    bwd_impl=bwd_impl)
+                                    bwd_impl=bwd_impl,
+                                    weight_math=weight_math)
     else:
         from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
         spatial = functools.partial(svgf_spatial_ref, detach_weights=True)
@@ -243,13 +245,18 @@ def main():
     ap.add_argument("--bwd", default="stored",
                     choices=["stored", "stored_f32", "recompute"],
                     help="chained detached-adjoint strategy (fwd_bwd config)")
+    ap.add_argument("--wmath", default="exact", choices=["exact", "fast"],
+                    help="tap-weight math (fast: one deg-3 exp per tap, "
+                         "~1.4e-4 weight rel err; fwd_bwd config)")
     args = ap.parse_args()
 
     if args.config == "fwd_bwd_1080p":
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats,
                                        precision=args.precision,
-                                       bwd_impl=args.bwd)
-        metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision})"
+                                       bwd_impl=args.bwd,
+                                       weight_math=args.wmath)
+        wm = "" if args.wmath == "exact" else " fastw"
+        metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision}{wm})"
     elif args.config == "fwd_1080p":
         value, dt = bench_svgf_fwd(repeats=args.repeats,
                                    precision=args.precision)

@@ -87,6 +87,26 @@ def _exp_fast(x: jax.Array) -> jax.Array:
     return _exp2_fast(x * _LOG2E)
 
 
+# near-minimax (relative-error LS) deg-3 coefficients for exp(z) on
+# [-ln2/2, ln2/2]: max rel err 1.37e-4 (tools: fit in commit history)
+_EXP3_C = (0.999951338657045, 1.0001527445243588,
+           0.5042261676140843, 0.16524081962961631)
+
+
+def _exp2_fast3(y: jax.Array) -> jax.Array:
+    """2^y for y <= 0, ~1.4e-4 relative: deg-3 near-minimax on the reduced
+    argument (7 fewer VPU ops than :func:`_exp2_fast`'s deg-6 — the exp is
+    ~40% of the 25-tap weight math).  ``weight_math="fast"`` only."""
+    yi = jnp.floor(y + 0.5)
+    z = (y - yi) * _LN2
+    c0, c1, c2, c3 = _EXP3_C
+    p = c0 + z * (c1 + z * (c2 + z * c3))
+    # y <= 0 so yi <= 0 < 127: only the underflow side needs clamping
+    i = jnp.maximum(yi.astype(jnp.int32), -126)
+    two_i = pltpu.bitcast(((i + 127) << 23), jnp.float32)
+    return p * two_i
+
+
 def _recip(x: jax.Array) -> jax.Array:
     """Full-precision reciprocal via the VPU approx-recip + one Newton step
     (~4 ops vs the ~7-op divide sequence); relative error ~1 ulp."""
@@ -154,7 +174,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                        Wp: int = None, save_w: bool = False,
                        dtype=jnp.float32, with_origin: bool = False,
                        row_base: int = 0, out_margin: int = None,
-                       w_dtype=jnp.float32):
+                       w_dtype=jnp.float32, fast_weights: bool = False):
     """Build the fwd or bwd kernel body for one à-trous level.
 
     Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad + inv-sigma
@@ -473,6 +493,17 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         def edge_weight(wz2, wl2, n_a, n_b, hfm):
             """h · mask · exp2(wz2 + wl2) · (n_a·n_b)^σn, dtype-specialized."""
             if not bf:
+                if fast_weights:
+                    # exp-form normal weight (exact for unit normals up to
+                    # the 2-term log series, see bf16-mode docstring) folds
+                    # the ndot/pow chain into the one exp2; with the deg-3
+                    # exp this cuts the per-tap weight math ~35%.
+                    d0 = n_a[0] - n_b[0]
+                    d1 = n_a[1] - n_b[1]
+                    d2 = n_a[2] - n_b[2]
+                    s = d0 * d0 + d1 * d1 + d2 * d2
+                    arg = wz2 + wl2 - (c_s1 * s + c_s2 * (s * s))
+                    return hfm * _exp2_fast3(arg)
                 ndot = jnp.maximum(n_a[0] * n_b[0] + n_a[1] * n_b[1]
                                    + n_a[2] * n_b[2], 0.0)
                 return hfm * _exp2_fast(wz2 + wl2) * pow_sigma_n(ndot)
@@ -951,13 +982,14 @@ atrous_level.defvjp(_atrous_fwd, _atrous_bwd)
 @functools.partial(jax.jit, static_argnames=("params", "return_feedback",
                                               "interpret", "precision",
                                               "weight_grads", "chained",
-                                              "tile_rows", "bwd_impl"))
+                                              "tile_rows", "bwd_impl",
+                                              "weight_math"))
 def svgf_spatial_pallas(
     color, variance, normal, depth,
     *, params: SVGFParams = SVGFParams(), return_feedback: bool = False,
     interpret: bool = False, precision: str = "f32",
     weight_grads: bool = False, chained: bool = True, tile_rows: int = None,
-    bwd_impl: str = "stored",
+    bwd_impl: str = "stored", weight_math: str = "exact",
 ):
     """Full multi-level à-trous sweep on TPU (drop-in for ``svgf_spatial_ref``
     with ``detach_weights=True``).
@@ -987,14 +1019,31 @@ def svgf_spatial_pallas(
     ``"recompute"``, twice the weight traffic); ``"recompute"`` re-derives
     the weights in the backward kernel (the round-1 strategy — exact
     transposed-stencil adjoint of the forward's weights, no storage).
+
+    ``weight_math="fast"`` (chained path, stored bwd only) computes each
+    tap weight as ONE deg-3 exp2 — the normal weight folds into the exp
+    argument via the exp-form identity (see bf16 mode) — for a ~1.4e-4
+    relative weight error vs ``"exact"``'s ~1e-7.  Output error stays
+    ~60 dB below signal; tests/test_atrous_pallas.py bounds it.
     """
     if bwd_impl not in ("stored", "stored_f32", "recompute"):
         raise ValueError(f"unknown bwd_impl: {bwd_impl!r}")
+    if weight_math not in ("exact", "fast"):
+        raise ValueError(f"unknown weight_math: {weight_math!r}")
+    if weight_math == "fast" and bwd_impl == "recompute":
+        # the recompute adjoint re-derives weights with the exact math; its
+        # transposed stencil would not match a fast-weights forward
+        raise ValueError("weight_math='fast' requires a stored bwd_impl")
+    on_chained = (chained and not weight_grads and precision == "f32"
+                  and params.iterations > 0)
+    if weight_math == "fast" and not on_chained:
+        raise ValueError("weight_math='fast' is implemented on the chained "
+                         "f32 detached path only")
     if (chained and not weight_grads and precision == "f32"
             and params.iterations > 0):
         c, v, feedback = _svgf_chained(
             color, variance, normal, depth,
-            (params, interpret, tile_rows, bwd_impl))
+            (params, interpret, tile_rows, bwd_impl, weight_math))
         if return_feedback:
             return c, v, feedback
         return c, v
@@ -1594,11 +1643,13 @@ def _chain_tiles(H: int, Wp: int, params: SVGFParams,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "level", "params", "TH", "margin", "bounds", "interpret", "save_w_dtype"))
+    "level", "params", "TH", "margin", "bounds", "interpret", "save_w_dtype",
+    "fast_weights"))
 def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
                             *, level: int, params: SVGFParams, TH: int,
                             margin: int, bounds: Tuple[int, int],
-                            interpret: bool = False, save_w_dtype=None):
+                            interpret: bool = False, save_w_dtype=None,
+                            fast_weights: bool = False):
     """One forward level, canvas in / canvas out.  Returns (colorC', varC',
     normC) canvases — plus, with ``save_w_dtype`` set, the (n_taps, CH, Wp)
     stored-weight canvas the stored backward consumes (bf16 storage halves
@@ -1618,7 +1669,8 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
                                 n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
                                 out_margin=margin, save_w=save_w,
-                                w_dtype=save_w_dtype)
+                                w_dtype=save_w_dtype,
+                                fast_weights=fast_weights)
     sds = jax.ShapeDtypeStruct
     n_out = 4 if save_w else 3
     out_shape = [sds((3, CH, Wp), jnp.float32),
@@ -1744,7 +1796,7 @@ def _svgf_chained(color, variance, normal, depth, spec):
 
 
 def _svgf_chained_fwd(color, variance, normal, depth, spec):
-    params, interpret, tile_rows, bwd_impl = spec
+    params, interpret, tile_rows, bwd_impl, weight_math = spec
     H, W = depth.shape
     Wp = _round_up(W, 128)
     M = _chain_margin(params)
@@ -1771,7 +1823,8 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
         outs = atrous_level_fwd_canvas(
             cC, vC, normalC, depthC, zgrad_cb, isd2C[M:M + H_pad, :],
             level=lvl, params=params, TH=th_f, margin=M, bounds=bounds,
-            interpret=interpret, save_w_dtype=save_w_dtype)
+            interpret=interpret, save_w_dtype=save_w_dtype,
+            fast_weights=weight_math == "fast")
         cC_next, vC_next, nC = outs[:3]
         if save_w_dtype is not None:
             lvl_res.append((outs[3], nC))
@@ -1793,7 +1846,7 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
 
 
 def _svgf_chained_bwd(spec, res, g):
-    params, interpret, tile_rows, bwd_impl = spec
+    params, interpret, tile_rows, bwd_impl, _weight_math = spec
     lvl_res, normalC, depthC, zgradC = res
     gc, gv, gfeed = g
     H, W = gv.shape

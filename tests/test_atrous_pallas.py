@@ -262,3 +262,49 @@ def test_chained_stored_bwd_matches_recompute(rng, bwd_impl, rtol):
         scale = float(jnp.max(jnp.abs(b))) + 1e-12
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=rtol)
+
+
+def test_fast_weight_math_close_to_exact(rng):
+    """weight_math="fast" (one deg-3 exp2 per tap, normal weight folded into
+    the exp argument) must stay within ~1e-4 relative of the exact-weights
+    sweep — the bound the svgf_spatial_pallas docstring advertises."""
+    color, variance, normal, depth = _scene(rng, 48, 130)
+    params = SVGFParams(iterations=4, feedback_level=1)
+
+    def run(wm):
+        return svgf_spatial_pallas(color, variance, normal, depth,
+                                   params=params, interpret=True,
+                                   weight_math=wm, return_feedback=True)
+
+    exact, fast = run("exact"), run("fast")
+    for a, b in zip(fast, exact):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-4)
+
+    # gradients flow through the same stored-weight backward; the per-level
+    # weight error compounds through 4 levels of chain rule, so the bound
+    # is an order looser than the forward's
+    def loss(c, v, wm):
+        oc, ov = svgf_spatial_pallas(c, v, normal, depth, params=params,
+                                     interpret=True, weight_math=wm)
+        return jnp.sum(oc ** 2) + jnp.sum(ov * 1.7)
+
+    g_ex = jax.grad(lambda c, v: loss(c, v, "exact"), argnums=(0, 1))(
+        color, variance)
+    g_fa = jax.grad(lambda c, v: loss(c, v, "fast"), argnums=(0, 1))(
+        color, variance)
+    for a, b in zip(g_fa, g_ex):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-3)
+
+
+def test_fast_weight_math_rejects_unsupported_modes(rng):
+    color, variance, normal, depth = _scene(rng, 32, 130)
+    with pytest.raises(ValueError, match="stored bwd_impl"):
+        svgf_spatial_pallas(color, variance, normal, depth, interpret=True,
+                            weight_math="fast", bwd_impl="recompute")
+    with pytest.raises(ValueError, match="chained"):
+        svgf_spatial_pallas(color, variance, normal, depth, interpret=True,
+                            weight_math="fast", chained=False)

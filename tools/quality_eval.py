@@ -68,6 +68,8 @@ def main():
 
     oracle = run(svgf_spatial_ref, detach_weights=True)
     pf32 = run(svgf_spatial_pallas, interpret=args.interpret)
+    pfast = run(svgf_spatial_pallas, interpret=args.interpret,
+                weight_math="fast")
     pbf16 = run(svgf_spatial_pallas, interpret=args.interpret,
                 precision="bf16")
 
@@ -87,6 +89,7 @@ def main():
     out = {
         "size": args.size,
         "psnr_pallas_f32_vs_oracle_db": round(psnr(pf32, oracle, peak), 2),
+        "psnr_fastw_vs_oracle_db": round(psnr(pfast, oracle, peak), 2),
         "psnr_bf16_vs_oracle_db": round(psnr(pbf16, oracle, peak), 2),
         "psnr_bf16_vs_pallas_f32_db": round(psnr(pbf16, pf32, peak), 2),
         "grad_cosine_bf16_vs_f32": round(cos, 6),
