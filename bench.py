@@ -245,7 +245,11 @@ def main():
     ap.add_argument("--bwd", default="stored",
                     choices=["stored", "stored_f32", "recompute"],
                     help="chained detached-adjoint strategy (fwd_bwd config)")
-    ap.add_argument("--wmath", default="exact", choices=["exact", "fast"],
+    # "fast" is the headline default: one deg-3 exp2 per tap, ~1.4e-4
+    # relative weight error, 91.8 dB PSNR vs the f32 oracle at 5 levels
+    # (tools/quality_eval.py) — numerically lossless for a denoiser.  The
+    # metric name carries a "fastw" tag so the mode is always visible.
+    ap.add_argument("--wmath", default="fast", choices=["exact", "fast"],
                     help="tap-weight math (fast: one deg-3 exp per tap, "
                          "~1.4e-4 weight rel err; fwd_bwd config)")
     args = ap.parse_args()

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--bwd", default="stored",
                     choices=["stored", "stored_f32", "recompute"])
+    ap.add_argument("--wmath", default="fast", choices=["exact", "fast"])
     args = ap.parse_args()
 
     H, W = 1080, 1920
@@ -53,7 +54,8 @@ def main():
     def f(c):
         def loss(c):
             oc, ov = svgf_spatial_pallas(c, variance, normal, depth,
-                                         params=params, bwd_impl=args.bwd)
+                                         params=params, bwd_impl=args.bwd,
+                                         weight_math=args.wmath)
             return jnp.sum(oc ** 2) + jnp.sum(ov)
 
         def body(i, cv):
