@@ -157,8 +157,13 @@ def bench_raymarch(H=1080, W=1920, repeats=5, impl=None):
                 key, sub = jax.random.split(key)
                 g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cfg,
                                    params=rm, impl=impl)
-                return (jax.random.fold_in(key, jnp.int32(g.render[0, 0, 0])),
-                        acc + g.depth[0, 0])
+                # consume every emitted plane: single-pixel reads would let
+                # XLA slice the whole-image shading/normal/motion math down
+                # to a few pixels and overstate the number
+                use = (jnp.sum(g.render) + jnp.sum(g.normal)
+                       + jnp.sum(g.depth) + jnp.sum(g.albedo)
+                       + jnp.sum(g.motion))
+                return (jax.random.fold_in(key, jnp.int32(use)), acc + use)
             _, acc = jax.lax.fori_loop(
                 0, n, body, (key, jnp.float32(0.0)))
             return acc
@@ -195,16 +200,20 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32"):
             hist = History.zeros(H, W)
 
             def body(i, carry):
-                hist, key = carry
+                hist, key, acc = carry
                 key, sub = jax.random.split(key)
                 g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
                                    params=rm, spp=spp, impl=rm_impl)
                 out, hist = svgf_denoise_frame(g, hist, params=svgf, impl=impl,
                                                precision=precision)
-                return (hist, key)
+                # consume the denoised frame: only the history feeds the next
+                # iteration, so without this XLA dead-code-eliminates every
+                # à-trous level past the feedback level
+                return (hist, key, acc + jnp.sum(out.denoised))
 
-            hist, _ = jax.lax.fori_loop(0, n, body, (hist, key))
-            return jnp.sum(hist.color)
+            hist, _, acc = jax.lax.fori_loop(0, n, body,
+                                             (hist, key, jnp.float32(0.0)))
+            return jnp.sum(hist.color) + acc
         return f
 
     import jax.random as jr

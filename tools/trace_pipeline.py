@@ -48,17 +48,19 @@ def main():
         hist = History.zeros(H, W)
 
         def body(i, carry):
-            hist, key = carry
+            hist, key, acc = carry
             key, sub = jax.random.split(key)
             g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
                                params=rm, spp=1, impl="pallas")
             out, hist = svgf_denoise_frame(g, hist, params=svgf,
                                            impl="pallas")
-            return (hist, key)
+            # consume the denoised frame (same anti-DCE rule as bench.py)
+            return (hist, key, acc + jnp.sum(out.denoised))
 
-        hist, _ = jax.lax.fori_loop(0, args.iters, body,
-                                    (hist, jax.random.PRNGKey(0)))
-        return jnp.sum(hist.color)
+        hist, _, acc = jax.lax.fori_loop(
+            0, args.iters, body,
+            (hist, jax.random.PRNGKey(0), jnp.float32(0.0)))
+        return jnp.sum(hist.color) + acc
 
     float(f(jax.random.PRNGKey(0)))  # compile + warm
     with jax.profiler.trace(args.outdir):
