@@ -174,7 +174,8 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                        Wp: int = None, save_w: bool = False,
                        dtype=jnp.float32, with_origin: bool = False,
                        row_base: int = 0, out_margin: int = None,
-                       w_dtype=jnp.float32, fast_weights: bool = False):
+                       w_dtype=jnp.float32, fast_weights: bool = False,
+                       fuse_isd: bool = False):
     """Build the fwd or bwd kernel body for one à-trous level.
 
     Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad + inv-sigma
@@ -232,13 +233,21 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         hbm = refs[:n_hbm]
         wout_ref = None
         if mode == "fwd":
-            zgrad_ref, isd2_ref, cout_ref, vout_ref, nout_ref = (
-                refs[n_hbm:n_hbm + 5])
-            n_out = 5
+            if fuse_isd:
+                # σ-denominator derived in-kernel from the staged variance
+                # tile: no isd2 center-block input
+                zgrad_ref, cout_ref, vout_ref, nout_ref = (
+                    refs[n_hbm:n_hbm + 4])
+                isd2_ref = None
+                n_out = 4
+            else:
+                zgrad_ref, isd2_ref, cout_ref, vout_ref, nout_ref = (
+                    refs[n_hbm:n_hbm + 5])
+                n_out = 5
             out_refs = (cout_ref, vout_ref, nout_ref)
             if save_w:
-                wout_ref = refs[n_hbm + 5]
-                n_out = 6
+                wout_ref = refs[n_hbm + n_out]
+                n_out += 1
                 if canvas_w:
                     out_refs = out_refs + (wout_ref,)
         else:
@@ -403,7 +412,8 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         if mode == "fwd":
             color_t, normal_t, depth_t, var_t = tiles
             zg = zgrad_ref[:]        # (2, TH, W) center rows
-            isd2_c = isd2_ref[:]     # log2e / sigma_denom, center rows
+            if not fuse_isd:
+                isd2_c = isd2_ref[:]  # log2e / sigma_denom, center rows
             # Luminance over the whole haloed band once (per-tap l_q becomes
             # a free slice instead of a 5-op recompute).
             lum_t = (_LUMA[0] * color_t[0] + _LUMA[1] * color_t[1]
@@ -481,6 +491,42 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                     sz2 * jnp.abs(zg[0] * key[0] + zg[1] * key[1]) + eps2)
                 _rz_cache[key] = rz.astype(dtype) if bf else rz
             return _rz_cache[key]
+
+        if mode == "fwd" and fuse_isd:
+            # In-kernel σ-denominator (replaces the per-level XLA blur/recip
+            # pass, ~0.06 ms/level of inter-kernel glue at 1080p): 3×3
+            # renormalized blur of the staged variance tile — same taps and
+            # masks as ops.atrous.variance_blur3x3 (k = (¼,½,¼) outer
+            # product, border taps dropped and renormalized).  Reads go
+            # through the tap loop's `shifted` machinery (at level 0 the ±1
+            # column rolls are shared with the tap loop's own).
+            k1b = (0.25, 0.5, 0.25)
+            rm1 = {dy: ((gy + dy >= 0) & (gy + dy < H)).astype(jnp.float32)
+                   for dy in (-1, 1)}
+            cm1 = {dx: ((gx + dx >= 0) & (gx + dx < W)).astype(jnp.float32)
+                   for dx in (-1, 1)}
+            rm1[0] = cm1[0] = None
+            numb = jnp.zeros((TH, Wp), jnp.float32)
+            rdenb = jnp.float32(0.5)
+            cdenb = jnp.float32(0.5)
+            for dy in (-1, 0, 1):
+                if rm1[dy] is not None:
+                    rdenb = rdenb + k1b[dy + 1] * rm1[dy]
+                for dx in (-1, 0, 1):
+                    kb = k1b[dy + 1] * k1b[dx + 1]
+                    if dy == 0 and cm1[dx] is not None:
+                        cdenb = cdenb + k1b[dx + 1] * cm1[dx]
+                    mb = None
+                    if rm1[dy] is not None:
+                        mb = rm1[dy]
+                    if cm1[dx] is not None:
+                        mb = cm1[dx] if mb is None else mb * cm1[dx]
+                    v_b = shifted(var_t, dy, dx)
+                    numb = numb + (kb * v_b if mb is None else kb * (mb * v_b))
+            blur = numb * _recip(rdenb * cdenb)
+            sden = (params.sigma_color * jnp.sqrt(jnp.maximum(blur, 0.0))
+                    + _EPS)
+            isd2_c = _LOG2E * _recip(jnp.maximum(sden, _EPS))
 
         def rz_bwd(dz2):
             """Per-tap depth-weight reciprocal: in bf16 mode the VPU approx
@@ -1656,7 +1702,9 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     its HBM traffic; the weights are in [0, 1] so the 2^-8 relative
     quantization is benign — tests/test_atrous_pallas.py bounds it).
     ``zgrad_cb``/``isd2_cb`` are center-blocked (…, H_pad, Wp) as in the
-    per-level wrapper."""
+    per-level wrapper; ``isd2_cb=None`` derives the σ-denominator in-kernel
+    from the variance canvas (the chained stored-backward default — removes
+    the per-level XLA blur pass)."""
     H, W = bounds
     CH, Wp = depthC.shape[-2:]
     H_pad = CH - 2 * margin
@@ -1665,12 +1713,14 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     grid = H_pad // TH
     BLK = TH + 2 * halo_pad
     save_w = save_w_dtype is not None
+    fuse_isd = isd2_cb is None
     n_taps = (2 * params.radius + 1) ** 2
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
                                 n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
                                 out_margin=margin, save_w=save_w,
                                 w_dtype=save_w_dtype,
-                                fast_weights=fast_weights)
+                                fast_weights=fast_weights,
+                                fuse_isd=fuse_isd)
     sds = jax.ShapeDtypeStruct
     n_out = 4 if save_w else 3
     out_shape = [sds((3, CH, Wp), jnp.float32),
@@ -1681,11 +1731,15 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
         out_shape.append(sds((n_taps, CH, Wp), save_w_dtype))
         w_tiles = [pltpu.VMEM((2, n_taps, TH, Wp), save_w_dtype)]
         w_zeros = [pltpu.VMEM((n_taps, margin, Wp), save_w_dtype)]
+    in_specs = [_hbm_spec()] * 4 + [_center_spec(2, TH, Wp)]
+    args = (colorC, normalC, depthC, varC, zgrad_cb)
+    if not fuse_isd:
+        in_specs.append(_center_spec(None, TH, Wp))
+        args = args + (isd2_cb,)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[_hbm_spec()] * 4 + [_center_spec(2, TH, Wp),
-                                      _center_spec(None, TH, Wp)],
+        in_specs=in_specs,
         out_specs=(_hbm_spec(),) * n_out,
         out_shape=tuple(out_shape),
         scratch_shapes=_scratch_tiles((3, 3, None, None), BLK, Wp)
@@ -1700,7 +1754,7 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
            pltpu.SemaphoreType.DMA((n_out, 2))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
-    )(colorC, normalC, depthC, varC, zgrad_cb, isd2_cb)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1816,12 +1870,20 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
     feedbackC = colorC
     lvl_res = []
     for lvl in range(params.iterations):
-        v_ctr = _canvas_crop(vC, M, H, W)
-        sden = params.sigma_color * jnp.sqrt(
-            jnp.maximum(variance_blur3x3(v_ctr), 0.0)) + _EPS
-        isd2C = _canvas_pad(_LOG2E / jnp.maximum(sden, _EPS), M, H_pad, Wp)
+        if save_w_dtype is not None:
+            # stored backward never re-derives weights, so the σ-denominator
+            # is fused into the fwd kernel (isd2_cb=None) — no XLA blur pass
+            isd2_cb = None
+        else:
+            # recompute backward re-derives weights from this exact isd2C;
+            # keep it XLA-side so fwd and bwd round identically
+            v_ctr = _canvas_crop(vC, M, H, W)
+            sden = params.sigma_color * jnp.sqrt(
+                jnp.maximum(variance_blur3x3(v_ctr), 0.0)) + _EPS
+            isd2C = _canvas_pad(_LOG2E / jnp.maximum(sden, _EPS), M, H_pad, Wp)
+            isd2_cb = isd2C[M:M + H_pad, :]
         outs = atrous_level_fwd_canvas(
-            cC, vC, normalC, depthC, zgrad_cb, isd2C[M:M + H_pad, :],
+            cC, vC, normalC, depthC, zgrad_cb, isd2_cb,
             level=lvl, params=params, TH=th_f, margin=M, bounds=bounds,
             interpret=interpret, save_w_dtype=save_w_dtype,
             fast_weights=weight_math == "fast")

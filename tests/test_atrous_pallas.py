@@ -204,17 +204,26 @@ def test_weight_grads_differ_from_detached(rng):
 def test_chained_sweep_bit_exact_vs_per_level(rng):
     """Canvas-chained sweep (pad-once, canvas in/out DMA) must be
     bit-identical to the per-level wrapper path — the canvases hold exactly
-    the zero-padded arrays the per-level path rebuilds each level."""
+    the zero-padded arrays the per-level path rebuilds each level.  The
+    bit-exact contract is on ``bwd_impl="recompute"`` (XLA-side isd2); the
+    default stored mode derives the σ-denominator in-kernel (fused separable
+    variance blur + Newton reciprocal), which rounds a few ulps differently."""
     color, variance, normal, depth = _scene(rng, 65, 130)
     params = SVGFParams(iterations=5, feedback_level=2)
 
-    def run(chained):
+    def run(chained, bwd_impl="recompute"):
         return svgf_spatial_pallas(color, variance, normal, depth,
                                    params=params, interpret=True,
-                                   chained=chained, return_feedback=True)
+                                   chained=chained, bwd_impl=bwd_impl,
+                                   return_feedback=True)
 
     for a, b in zip(run(True), run(False)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    for a, b in zip(run(True, "stored"), run(False)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5)
 
     def loss(c, v, chained):
         # bwd_impl="recompute": the per-level path always recomputes, so the
@@ -237,10 +246,11 @@ def test_chained_sweep_bit_exact_vs_per_level(rng):
                                            ("stored", 3e-3)])
 def test_chained_stored_bwd_matches_recompute(rng, bwd_impl, rtol):
     """Stored-weight chained backward (fwd emits the 25 weight planes; bwd is
-    FMA-only) must match the recompute backward: f32 storage to ~recip-ulp
-    (the only differences are the in-kernel Newton reciprocal for 1/N and
-    the weight-store roundtrip), bf16 storage to the 2^-8 weight
-    quantization."""
+    FMA-only) must match the recompute backward: f32 storage to ~recip-ulp,
+    bf16 storage to the 2^-8 weight quantization.  The stored modes derive
+    the σ-denominator in-kernel (fused variance blur) while recompute keeps
+    it XLA-side, so the primal agrees to a few ulps rather than bit-exactly;
+    the stored adjoint remains exact w.r.t. its OWN forward's weights."""
     color, variance, normal, depth = _scene(rng, 48, 130)
     params = SVGFParams(iterations=3, feedback_level=1)
 
@@ -249,10 +259,9 @@ def test_chained_stored_bwd_matches_recompute(rng, bwd_impl, rtol):
                                      interpret=True, bwd_impl=impl)
         return jnp.sum(oc ** 2) + jnp.sum(ov * 1.7)
 
-    # primal is identical by construction (same forward kernel math)
     l_rec = loss(color, variance, "recompute")
     l_sto = loss(color, variance, bwd_impl)
-    assert float(jnp.abs(l_rec - l_sto)) == 0.0
+    assert float(jnp.abs(l_rec - l_sto)) <= 1e-5 * float(jnp.abs(l_rec))
 
     g_rec = jax.grad(lambda c, v: loss(c, v, "recompute"), argnums=(0, 1))(
         color, variance)
