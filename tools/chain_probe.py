@@ -50,6 +50,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, nargs="*", default=[0])
     ap.add_argument("--what", nargs="*", default=["fwd", "fwdbwd"])
+    ap.add_argument("--wmath", default="fast", choices=["exact", "fast"])
     ap.add_argument("--H", type=int, default=1080)
     ap.add_argument("--W", type=int, default=1920)
     args = ap.parse_args()
@@ -67,7 +68,7 @@ def main():
                     def body(i, c):
                         oc, ov = svgf_spatial_pallas(
                             c, variance, normal, depth, params=params,
-                            tile_rows=tile)
+                            tile_rows=tile, weight_math=args.wmath)
                         return oc
                     return jnp.sum(jax.lax.fori_loop(0, n, body, c))
                 return f
@@ -84,7 +85,7 @@ def main():
                     def loss(c):
                         oc, ov = svgf_spatial_pallas(
                             c, variance, normal, depth, params=params,
-                            tile_rows=tile)
+                            tile_rows=tile, weight_math=args.wmath)
                         return jnp.sum(oc ** 2) + jnp.sum(ov)
 
                     def body(i, cv):
