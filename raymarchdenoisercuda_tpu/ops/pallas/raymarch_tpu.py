@@ -129,20 +129,46 @@ def _make_march_kernel(H, W, TH, Wp, params: RaymarchParams,
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
         is_pad = (gy >= H) | (gx >= W)
         t0 = jnp.where(is_pad, params.max_dist, 0.0)
+        om = params.relax_omega
 
-        def cond(carry):
-            i, _t, n_active = carry
-            return (i < params.max_steps) & (n_active > 0.0)
+        if om <= 1.0:
+            def cond(carry):
+                i, _t, n_active = carry
+                return (i < params.max_steps) & (n_active > 0.0)
 
-        def body(carry):
-            i, t, _n = carry
-            d = sdf_d(rox + t * rdx, roy + t * rdy, roz + t * rdz)
-            active = (d > params.hit_eps) & (t < params.max_dist)
-            t = t + jnp.where(active, d, 0.0)
-            return i + 1, t, jnp.sum(active.astype(jnp.float32))
+            def body(carry):
+                i, t, _n = carry
+                d = sdf_d(rox + t * rdx, roy + t * rdy, roz + t * rdz)
+                active = (d > params.hit_eps) & (t < params.max_dist)
+                t = t + jnp.where(active, d, 0.0)
+                return i + 1, t, jnp.sum(active.astype(jnp.float32))
 
-        _i, t, _n = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t0, jnp.float32(1.0)))
+            _i, t, _n = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), t0, jnp.float32(1.0)))
+        else:
+            # over-relaxed march with rollback — identical update rule to
+            # ops.raymarch._raymarch_loop's relaxed branch
+            def cond(carry):
+                i, _t, _dp, _sp, n_active = carry
+                return (i < params.max_steps) & (n_active > 0.0)
+
+            def body(carry):
+                i, t, d_prev, step_prev, _n = carry
+                d = sdf_d(rox + t * rdx, roy + t * rdy, roz + t * rdz)
+                fail = ((d + d_prev) < step_prev) & (step_prev > d_prev)
+                active = (d > params.hit_eps) & (t < params.max_dist) & ~fail
+                delta = jnp.where(fail, d_prev - step_prev,
+                                  jnp.where(active, om * d, 0.0))
+                new_step = jnp.where(fail, d_prev,
+                                     jnp.where(active, om * d, step_prev))
+                new_dp = jnp.where(active, d, d_prev)
+                going = active | fail
+                return (i + 1, t + delta, new_dp, new_step,
+                        jnp.sum(going.astype(jnp.float32)))
+
+            z = jnp.zeros((TH, Wp), jnp.float32)
+            _i, t, _dp, _sp, _n = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), t0, z, z, jnp.float32(1.0)))
 
         d_final, mat = sdf(rox + t * rdx, roy + t * rdy, roz + t * rdz)
         hit = (d_final <= params.hit_eps * 4.0) & (t < params.max_dist)
@@ -164,20 +190,49 @@ def _make_shadow_kernel(H, W, TH, Wp, params: RaymarchParams,
         ldx, ldy, ldz = ldx_ref[:], ldy_ref[:], ldz_ref[:]
         dist_l = dl_ref[:]  # zero in pad regions -> immediately inactive
 
-        def cond(carry):
-            i, _t, n_active = carry
-            return (i < params.shadow_steps) & (n_active > 0.0)
+        om = params.relax_omega
+        if om <= 1.0:
+            def cond(carry):
+                i, _t, n_active = carry
+                return (i < params.shadow_steps) & (n_active > 0.0)
 
-        def body(carry):
-            i, t, _n = carry
-            d = sdf_d(ox + t * ldx, oy + t * ldy, oz + t * ldz)
-            active = (d > params.hit_eps) & (t < dist_l - 0.02)
-            t = t + jnp.where(active, jnp.maximum(d, min_step), 0.0)
-            return i + 1, t, jnp.sum(active.astype(jnp.float32))
+            def body(carry):
+                i, t, _n = carry
+                d = sdf_d(ox + t * ldx, oy + t * ldy, oz + t * ldz)
+                active = (d > params.hit_eps) & (t < dist_l - 0.02)
+                t = t + jnp.where(active, jnp.maximum(d, min_step), 0.0)
+                return i + 1, t, jnp.sum(active.astype(jnp.float32))
 
-        _i, t, _n = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.zeros((TH, Wp), jnp.float32), jnp.float32(1.0)))
+            _i, t, _n = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), jnp.zeros((TH, Wp), jnp.float32),
+                 jnp.float32(1.0)))
+        else:
+            # relaxed shadow march — identical rule to
+            # ops.raymarch._shadow_factor's relaxed branch
+            def cond(carry):
+                i, _t, _dp, _sp, n_active = carry
+                return (i < params.shadow_steps) & (n_active > 0.0)
+
+            def body(carry):
+                i, t, d_prev, step_prev, _n = carry
+                d = sdf_d(ox + t * ldx, oy + t * ldy, oz + t * ldz)
+                cons = jnp.maximum(d_prev, min_step)
+                fail = ((d + d_prev) < step_prev) & (step_prev > cons)
+                active = (d > params.hit_eps) & (t < dist_l - 0.02) & ~fail
+                step = jnp.maximum(om * d, min_step)
+                delta = jnp.where(fail, cons - step_prev,
+                                  jnp.where(active, step, 0.0))
+                new_step = jnp.where(fail, cons,
+                                     jnp.where(active, step, step_prev))
+                new_dp = jnp.where(active, d, d_prev)
+                going = active | fail
+                return (i + 1, t + delta, new_dp, new_step,
+                        jnp.sum(going.astype(jnp.float32)))
+
+            z = jnp.zeros((TH, Wp), jnp.float32)
+            _i, t, _dp, _sp, _n = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), z, z, z, jnp.float32(1.0)))
 
         vis_ref[:] = (t >= dist_l - 0.03).astype(jnp.float32)
 
