@@ -112,21 +112,22 @@ def _make_sdf(sc, n_sph: int, n_box: int, n_pl: int, want_mat: bool):
     return sdf
 
 
-def _make_march_kernel(H, W, TH, Wp, params: RaymarchParams,
+def _make_march_kernel(H, W, TH, TW, params: RaymarchParams,
                        n_sph, n_box, n_pl):
     def kernel(sc_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                t_ref, hit_ref, mat_ref):
         sdf = _make_sdf(sc_ref, n_sph, n_box, n_pl, want_mat=True)
         sdf_d = _make_sdf(sc_ref, n_sph, n_box, n_pl, want_mat=False)
-        b = pl.program_id(0)
+        by = pl.program_id(0)
+        bx = pl.program_id(1)
 
         rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
         rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
 
         # pad pixels (beyond the true image) start escaped: keeps the
-        # band's early-exit predicate from waiting on garbage rays
-        gy = b * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, Wp), 1)
+        # tile's early-exit predicate from waiting on garbage rays
+        gy = by * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+        gx = bx * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
         is_pad = (gy >= H) | (gx >= W)
         t0 = jnp.where(is_pad, params.max_dist, 0.0)
         om = params.relax_omega
@@ -166,7 +167,7 @@ def _make_march_kernel(H, W, TH, Wp, params: RaymarchParams,
                 return (i + 1, t + delta, new_dp, new_step,
                         jnp.sum(going.astype(jnp.float32)))
 
-            z = jnp.zeros((TH, Wp), jnp.float32)
+            z = jnp.zeros((TH, TW), jnp.float32)
             _i, t, _dp, _sp, _n = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), t0, z, z, jnp.float32(1.0)))
 
@@ -179,7 +180,7 @@ def _make_march_kernel(H, W, TH, Wp, params: RaymarchParams,
     return kernel
 
 
-def _make_shadow_kernel(H, W, TH, Wp, params: RaymarchParams,
+def _make_shadow_kernel(H, W, TH, TW, params: RaymarchParams,
                         n_sph, n_box, n_pl):
     min_step = 0.01
 
@@ -205,7 +206,7 @@ def _make_shadow_kernel(H, W, TH, Wp, params: RaymarchParams,
 
             _i, t, _n = jax.lax.while_loop(
                 cond, body,
-                (jnp.int32(0), jnp.zeros((TH, Wp), jnp.float32),
+                (jnp.int32(0), jnp.zeros((TH, TW), jnp.float32),
                  jnp.float32(1.0)))
         else:
             # relaxed shadow march — identical rule to
@@ -230,7 +231,7 @@ def _make_shadow_kernel(H, W, TH, Wp, params: RaymarchParams,
                 return (i + 1, t + delta, new_dp, new_step,
                         jnp.sum(going.astype(jnp.float32)))
 
-            z = jnp.zeros((TH, Wp), jnp.float32)
+            z = jnp.zeros((TH, TW), jnp.float32)
             _i, t, _dp, _sp, _n = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), z, z, z, jnp.float32(1.0)))
 
@@ -247,11 +248,20 @@ def _pad2(x, H_pad, Wp):
     return jnp.pad(x, pad)
 
 
-_TH = 64  # band height: early-exit granularity (17 bands at 1080p)
+# 2D tile shape: early-exit granularity.  A step-count cost model says
+# narrow tiles should win (full-width bands pay ~51 steps/pixel-equivalent
+# at 1080p vs ~21 for 16×128; per-pixel ideal 13.3) but MEASURED on v5e the
+# wall time is tile-shape-invariant (±1%): smaller tiles take fewer
+# while-loop iterations yet each iteration runs at proportionally lower
+# VPU utilization (fixed scalar-cond + reduce overhead per iteration).
+# Early exit itself works — max_steps 16/32/64/128 times sublinearly at
+# 1.71/2.37/2.98/3.59 ms.  TW is a lane multiple; TH a sublane multiple.
+_TH = 32
+_TW = 256
 
 
-def _band_specs(TH, Wp, n):
-    return [pl.BlockSpec((TH, Wp), lambda b: (b, 0),
+def _tile_specs(TH, TW, n):
+    return [pl.BlockSpec((TH, TW), lambda by, bx: (by, bx),
                          memory_space=pltpu.VMEM) for _ in range(n)]
 
 
@@ -275,24 +285,25 @@ def raymarch_pallas_with_mat(scene, ro, rd, params: RaymarchParams,
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def _march_call(scene, ro, rd, params, interpret=False):
     H, W = ro.shape[-2:]
-    Wp = _round_up(W, 128)
+    TW = min(_TW, _round_up(W, 128))
+    Wp = _round_up(W, TW)
     TH = min(_TH, _round_up(H, 8))
     H_pad = _round_up(H, TH)
-    grid = H_pad // TH
+    grid = (H_pad // TH, Wp // TW)
     n_sph = scene.sphere_params.shape[0]
     n_box = scene.box_params.shape[0]
     n_pl = scene.plane_params.shape[0]
 
-    kernel = _make_march_kernel(H, W, TH, Wp, params, n_sph, n_box, n_pl)
+    kernel = _make_march_kernel(H, W, TH, TW, params, n_sph, n_box, n_pl)
     sc = flatten_scene(scene)
     rop = _pad2(ro, H_pad, Wp)
     rdp = _pad2(rd, H_pad, Wp)
     t, hit, mat = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + _band_specs(TH, Wp, 6),
-        out_specs=tuple(_band_specs(TH, Wp, 3)),
+        + _tile_specs(TH, TW, 6),
+        out_specs=tuple(_tile_specs(TH, TW, 3)),
         out_shape=(
             jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
             jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
@@ -328,10 +339,11 @@ def shadow_factor_pallas(scene, p, n, light_p, params: RaymarchParams,
     ``ops.raymarch._shadow_factor``, including the normal-offset origin and
     step floor); piecewise-constant -> wrapped in stop_gradient."""
     H, W = p.shape[-2:]
-    Wp = _round_up(W, 128)
+    TW = min(_TW, _round_up(W, 128))
+    Wp = _round_up(W, TW)
     TH = min(_TH, _round_up(H, 8))
     H_pad = _round_up(H, TH)
-    grid = H_pad // TH
+    grid = (H_pad // TH, Wp // TW)
     n_sph = scene.sphere_params.shape[0]
     n_box = scene.box_params.shape[0]
     n_pl = scene.plane_params.shape[0]
@@ -349,15 +361,15 @@ def shadow_factor_pallas(scene, p, n, light_p, params: RaymarchParams,
     dist_l = jnp.sqrt(jnp.sum(to_l * to_l, axis=0))
     ld = to_l / jnp.maximum(dist_l, 1e-8)[None]
 
-    kernel = _make_shadow_kernel(H, W, TH, Wp, params, n_sph, n_box, n_pl)
+    kernel = _make_shadow_kernel(H, W, TH, TW, params, n_sph, n_box, n_pl)
     op = _pad2(origin, H_pad, Wp)
     ldp = _pad2(ld, H_pad, Wp)
     vis = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + _band_specs(TH, Wp, 7),
-        out_specs=_band_specs(TH, Wp, 1)[0],
+        + _tile_specs(TH, TW, 7),
+        out_specs=_tile_specs(TH, TW, 1)[0],
         out_shape=jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
         interpret=interpret,
     )(flatten_scene(scene),
