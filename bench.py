@@ -45,10 +45,17 @@ def _scene_inputs(H, W, seed=0):
     return color, variance, jnp.asarray(n), depth
 
 
-def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=3):
+def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=5):
     """Seconds/iteration via the slope between two chain lengths run inside
     one jit each — robust to the axon tunnel's per-call RPC latency jitter
-    (a forced scalar readback guarantees completion)."""
+    (a forced scalar readback guarantees completion).
+
+    Reports the MEDIAN of ``reps`` slopes.  Note the chip behind the tunnel
+    is time-sliced: identical executables measure up to ~2× apart in
+    different process epochs while repeated measurements within one process
+    agree to ~1% — so numbers from different bench invocations are only
+    coarsely comparable; A/B comparisons must interleave within one process.
+    """
     f_lo, f_hi = make_fn(n_lo), make_fn(n_hi)
     float(f_lo(x))
     float(f_hi(x))
