@@ -447,6 +447,12 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             # image edge) must not accumulate gradient
             in_img = ((gy >= 0) & (gy < H)).astype(dtype)
             row_m = {dy: m * in_img for dy, m in row_m.items()}
+        # Fold the separable spline taps into the masks: hfm becomes ONE
+        # per-tap vector mul instead of two (h·(row·col)).  Bit-exact for the
+        # B3 taps (dyadic rationals × {0,1} masks — every product is exactly
+        # representable, in bf16 too).
+        row_mh = {dy: taps1d[dy + r] * m for dy, m in row_m.items()}
+        col_mh = {dx: taps1d[dx + r] * m for dx, m in col_m.items()}
 
         acc_c = jnp.zeros((3, TH, Wp), jnp.float32)
         acc_v = jnp.zeros((TH, Wp), jnp.float32)
@@ -564,8 +570,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
                 oy, ox = sgn * dy * spacing, sgn * dx * spacing
-                h = taps1d[dy + r] * taps1d[dx + r]
-                fm = row_m[dy] * col_m[dx]
+                hfm = row_mh[dy] * col_mh[dx]
 
                 if mode == "fwd":
                     c_q = shifted(color_t, oy, ox)
@@ -576,7 +581,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
 
                     wz2 = -jnp.abs(z_c - z_q) * rz_fwd(oy, ox)
                     wl2 = -jnp.abs(lum_c - l_q) * isd2_c
-                    w = edge_weight(wz2, wl2, n_c, n_q, h * fm)
+                    w = edge_weight(wz2, wl2, n_c, n_q, hfm)
                     if save_w:
                         # residual for the stored-weight backward kernel
                         k = (dy + r) * (2 * r + 1) + (dx + r)
@@ -605,7 +610,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                                               + zg_p[1] * float(-ox)) + eps2)
                     wz2 = -jnp.abs(z_p - z_c) * rz
                     wl2 = -jnp.abs(l_p - lum_c) * isd2_p
-                    w = edge_weight(wz2, wl2, n_p, n_c, h * fm)
+                    w = edge_weight(wz2, wl2, n_p, n_c, hfm)
 
                     acc_c = acc_c + w[None] * u_p
                     acc_v = acc_v + (w * w) * u2_p
