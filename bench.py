@@ -230,12 +230,19 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32"):
 
 
 def _baseline_value():
-    """First recorded round's north-star value, if any."""
+    """First recorded round's north-star value, if any.
+
+    The driver's BENCH_r*.json wraps the bench line under a "parsed" key;
+    accept both that wrapper and a bare {"value": ...} layout.
+    """
     vals = []
     for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))):
         try:
             d = json.load(open(f))
-            if isinstance(d, dict) and "value" in d:
+            if isinstance(d, dict) and isinstance(d.get("parsed"), dict) \
+                    and "value" in d["parsed"]:
+                vals.append(float(d["parsed"]["value"]))
+            elif isinstance(d, dict) and "value" in d:
                 vals.append(float(d["value"]))
         except Exception:
             pass
@@ -270,11 +277,21 @@ def main():
                          "~1.4e-4 weight rel err; fwd_bwd config)")
     args = ap.parse_args()
 
+    extra = {}
     if args.config == "fwd_bwd_1080p":
+        # Measure BOTH weight-math modes in one process (same chip epoch, so
+        # the pair is apples-to-apples; see _chain_time note).  Headline stays
+        # the --wmath mode; the other mode rides along in the JSON line.
+        other = "exact" if args.wmath == "fast" else "fast"
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats,
                                        precision=args.precision,
                                        bwd_impl=args.bwd,
                                        weight_math=args.wmath)
+        value_o, _ = bench_svgf_fwd_bwd(repeats=args.repeats,
+                                        precision=args.precision,
+                                        bwd_impl=args.bwd,
+                                        weight_math=other)
+        extra[f"{other}_mpix_s"] = round(value_o, 2)
         wm = "" if args.wmath == "exact" else " fastw"
         metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision}{wm})"
     elif args.config == "fwd_1080p":
@@ -299,12 +316,14 @@ def main():
     if args.csv:
         with open(args.csv, "a") as f:
             f.write(f"{metric}|{value:.3f}|{dt*1e3:.3f}\n")
-    print(json.dumps({
+    out = {
         "metric": "Mpixels/s/chip " + metric,
         "value": round(value, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
