@@ -180,10 +180,14 @@ def bench_raymarch(H=1080, W=1920, repeats=5, impl=None):
     return H * W / dt / 1e6, dt
 
 
-def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32"):
+def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
+                   weight_math="fast"):
     """BASELINE config 3: fused raymarch + G-buffer -> temporal -> SVGF per
     frame (fwd path, animated camera), measured as a frame chain (the
-    temporal history is the natural dependency)."""
+    temporal history is the natural dependency).  Fast tap weights are on
+    (~1.4e-4 weight rel err, tools/quality_eval.py); the cone pre-march
+    seed is NOT — measured in-pipeline (interleaved A/B, one process) its
+    pre-pass + glue cancel the fine-march saving (ROADMAP.md)."""
     import jax
     import jax.numpy as jnp
     from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams, SVGFParams
@@ -211,8 +215,9 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32"):
                 key, sub = jax.random.split(key)
                 g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
                                    params=rm, spp=spp, impl=rm_impl)
-                out, hist = svgf_denoise_frame(g, hist, params=svgf, impl=impl,
-                                               precision=precision)
+                out, hist = svgf_denoise_frame(
+                    g, hist, params=svgf, impl=impl, precision=precision,
+                    weight_math=weight_math if impl == "pallas" else "exact")
                 # consume the denoised frame: only the history feeds the next
                 # iteration, so without this XLA dead-code-eliminates every
                 # à-trous level past the feedback level
@@ -302,8 +307,10 @@ def main():
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats, impl="reference")
         metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"
     elif args.config == "pipeline_1080p":
-        value, dt = bench_pipeline(precision=args.precision)
-        metric = f"raymarch+temporal+SVGF frame 1080p ({args.precision})"
+        value, dt = bench_pipeline(precision=args.precision,
+                                   weight_math=args.wmath)
+        wm = "" if args.wmath == "exact" else " fastw"
+        metric = f"raymarch+temporal+SVGF frame 1080p ({args.precision}{wm})"
     else:
         value, dt = bench_raymarch(repeats=min(args.repeats, 5))
         import jax as _jax

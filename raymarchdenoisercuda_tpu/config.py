@@ -133,6 +133,19 @@ class RaymarchParams:
     # shadow accuracy at a fixed step budget is measurably better with it
     # (tests/test_raymarch.py::test_relaxed_shadow_no_less_accurate_than_plain).
     relax_omega: float = 1.0
+    # Half-resolution cone pre-march (Pallas path only).  One conservative
+    # cone per 2x2 pixel block is sphere-traced against the fattened SDF
+    # d - (hit_eps + base + t*delta), where delta is the block's max
+    # direction deviation |rd_i - rd_avg| and base its max origin deviation;
+    # the stop distance then seeds all four full-res rays.  The cone-march
+    # invariant sdf(x(s)) >= hit_eps + base + s*delta along every marched
+    # segment guarantees (for 1-Lipschitz SDFs, which all primitives here
+    # are) that no covered ray crosses a surface before its seed, so the
+    # seeded march converges to the same first hit as marching from 0 —
+    # differences are O(hit_eps) in the stopping t, never a missed/extra
+    # surface.  Off by default so kernel-vs-oracle parity tests compare the
+    # identical algorithm; the pipeline/bench configs turn it on.
+    coarse_seed: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

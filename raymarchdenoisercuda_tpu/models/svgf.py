@@ -40,7 +40,7 @@ def remodulate(irradiance: jax.Array, albedo: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit, static_argnames=("params", "detach_weights", "demodulate_albedo",
-                              "impl", "precision")
+                              "impl", "precision", "weight_math")
 )
 def svgf_denoise_frame(
     gbuf: GBuffer,
@@ -51,6 +51,7 @@ def svgf_denoise_frame(
     demodulate_albedo: bool = True,
     impl: str = "reference",
     precision: str = "f32",
+    weight_math: str = "exact",
 ) -> Tuple[GBuffer, History]:
     """Denoise one frame with full SVGF; returns (gbuffer+denoised, new history).
 
@@ -80,6 +81,7 @@ def svgf_denoise_frame(
         filtered, _, feedback = svgf_spatial_pallas(
             integrated, variance, gbuf.normal, gbuf.depth,
             params=params, return_feedback=True, precision=precision,
+            weight_math=weight_math,
         )
     else:
         filtered, _, feedback = svgf_spatial_ref(

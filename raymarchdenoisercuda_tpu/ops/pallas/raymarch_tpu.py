@@ -113,9 +113,15 @@ def _make_sdf(sc, n_sph: int, n_box: int, n_pl: int, want_mat: bool):
 
 
 def _make_march_kernel(H, W, TH, TW, params: RaymarchParams,
-                       n_sph, n_box, n_pl):
-    def kernel(sc_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-               t_ref, hit_ref, mat_ref):
+                       n_sph, n_box, n_pl, seeded: bool = False):
+    def kernel(sc_ref, *rest):
+        if seeded:
+            # per-band scalar seed rides in SMEM: one f32 per grid tile, no
+            # full-res seed plane, no upsample, no extra DMA per tile
+            seeds_ref = rest[0]
+            rest = rest[1:]
+        (rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+         t_ref, hit_ref, mat_ref) = rest
         sdf = _make_sdf(sc_ref, n_sph, n_box, n_pl, want_mat=True)
         sdf_d = _make_sdf(sc_ref, n_sph, n_box, n_pl, want_mat=False)
         by = pl.program_id(0)
@@ -129,7 +135,8 @@ def _make_march_kernel(H, W, TH, TW, params: RaymarchParams,
         gy = by * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
         gx = bx * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
         is_pad = (gy >= H) | (gx >= W)
-        t0 = jnp.where(is_pad, params.max_dist, 0.0)
+        start = seeds_ref[by, bx] if seeded else 0.0
+        t0 = jnp.where(is_pad, params.max_dist, start)
         om = params.relax_omega
 
         if om <= 1.0:
@@ -178,6 +185,132 @@ def _make_march_kernel(H, W, TH, TW, params: RaymarchParams,
         mat_ref[:] = mat
 
     return kernel
+
+
+def _make_cone_kernel(H, W, TH, TW, params: RaymarchParams,
+                      n_sph, n_box, n_pl):
+    """Coarse cone march: sphere-trace against the fattened distance
+    d - (hit_eps + base + t*delta).  Maintains the invariant
+    sdf(x(s)) >= hit_eps + base + s*delta along every marched segment, so
+    the stop t is a skip-free seed for every ray within (base, delta) of
+    this one (see RaymarchParams.coarse_seed)."""
+    eps = params.hit_eps
+    n_sc = n_sph * 5 + n_box * 7 + n_pl * 5   # flatten_scene length
+
+    def kernel(sc_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+               t_ref):
+        sdf_d = _make_sdf(sc_ref, n_sph, n_box, n_pl, want_mat=False)
+        by = pl.program_id(0)
+        bx = pl.program_id(1)
+        rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
+        rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
+        # conservative cone geometry rides in SMEM after the scene scalars
+        # (explicit static offsets: Mosaic SMEM refs don't wrap negatives)
+        delta = sc_ref[n_sc]
+        clear0 = eps + sc_ref[n_sc + 1]
+        inv_g = 1.0 / (1.0 + delta)   # cone growth during the step
+
+        gy = by * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+        gx = bx * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+        is_pad = (gy >= H) | (gx >= W)
+        t0 = jnp.where(is_pad, params.max_dist, 0.0)
+
+        def cond(carry):
+            i, _t, n_active = carry
+            return (i < params.max_steps) & (n_active > 0.0)
+
+        def body(carry):
+            i, t, _n = carry
+            d = sdf_d(rox + t * rdx, roy + t * rdy, roz + t * rdz)
+            margin = d - clear0 - t * delta
+            active = (margin > 0.0) & (t < params.max_dist)
+            t = t + jnp.where(active, margin * inv_g, 0.0)
+            return i + 1, t, jnp.sum(active.astype(jnp.float32))
+
+        _i, t, _n = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, jnp.float32(1.0)))
+        t_ref[:] = t
+
+    return kernel
+
+
+# Pre-march block edge: one cone per BxB pixel block.  Measured on v5e at
+# 1080p Cornell: B=4 and B=8 tie (~1.3 ms vs ~1.5 ms unseeded, interleaved
+# in one process; best-epoch pairs 0.93 vs 1.68); B=2's pre-pass costs more
+# than it saves.  B=4 keeps the tighter cone (smaller delta -> seeds stop
+# closer to the surface), so it is the default.
+_SEED_BLOCK = 4
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def _cone_seed_coarse(scene, ro, rd, params: RaymarchParams, interpret=False):
+    """Coarse conservative seed grid for the full-res march.
+
+    Averages each BxB pixel block's ray into one cone (apex ro_avg, axis
+    rd_avg) and cone-marches the coarse grid; the cone half-width delta and
+    apex spread base are *global scalar* maxima of the per-block deviations
+    (|rd_i - rd_avg|, |ro_i - ro_avg|) — scalars ride in SMEM with the scene
+    constants, so the kernel stages only the six coarse ray planes.
+    Deviations are computed in the natural (3, H, W) layout against the
+    nearest-upsampled block means (the blocked layout defeats XLA fusion).
+
+    Returns the PADDED coarse stop-distance grid (pad cells = max_dist,
+    i.e. escaped) plus its tile-grid shape — callers reduce or upsample."""
+    B = _SEED_BLOCK
+    H, W = ro.shape[-2:]
+    Hc, Wc = -(-H // B), -(-W // B)
+    # edge-replicate so border blocks average real rays only
+    rop = jnp.pad(ro, ((0, 0), (0, B * Hc - H), (0, B * Wc - W)), mode="edge")
+    rdp = jnp.pad(rd, ((0, 0), (0, B * Hc - H), (0, B * Wc - W)), mode="edge")
+    ro_avg = rop.reshape(3, Hc, B, Wc, B).mean(axis=(2, 4))
+    rd_sum = rdp.reshape(3, Hc, B, Wc, B).sum(axis=(2, 4))
+    rd_avg = rd_sum / jnp.maximum(
+        jnp.sqrt(jnp.sum(rd_sum * rd_sum, axis=0, keepdims=True)), 1e-8)
+
+    def up(x):
+        return jnp.repeat(jnp.repeat(x, B, axis=-2), B, axis=-1)
+
+    def dev(full, center_coarse):
+        d2 = jnp.sum((full - up(center_coarse)) ** 2, axis=0)
+        return jnp.sqrt(jnp.max(d2))     # global scalar max
+
+    delta = dev(rdp, rd_avg)
+    base = dev(rop, ro_avg)
+
+    TW = min(_TW, _round_up(Wc, 128))
+    Wp = _round_up(Wc, TW)
+    TH = min(_TH, _round_up(Hc, 8))
+    H_pad = _round_up(Hc, TH)
+    grid = (H_pad // TH, Wp // TW)
+    kernel = _make_cone_kernel(Hc, Wc, TH, TW, params,
+                               scene.sphere_params.shape[0],
+                               scene.box_params.shape[0],
+                               scene.plane_params.shape[0])
+    roa = _pad2(ro_avg, H_pad, Wp)
+    rda = _pad2(rd_avg, H_pad, Wp)
+    sc = jnp.concatenate([flatten_scene(scene), delta[None], base[None]])
+    t_c = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + _tile_specs(TH, TW, 6),
+        out_specs=_tile_specs(TH, TW, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+        interpret=interpret,
+    )(sc, roa[0], roa[1], roa[2], rda[0], rda[1], rda[2])
+    return t_c
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def _cone_seed(scene, ro, rd, params: RaymarchParams, interpret=False):
+    """Full-res per-pixel seed plane (nearest-upsampled coarse cone stops).
+    Used by the conservativeness tests; the production march consumes the
+    cheaper per-band reduction instead (see ``_march_call``)."""
+    B = _SEED_BLOCK
+    H, W = ro.shape[-2:]
+    Hc, Wc = -(-H // B), -(-W // B)
+    t_c = _cone_seed_coarse(scene, ro, rd, params, interpret)[:Hc, :Wc]
+    return jnp.repeat(jnp.repeat(t_c, B, axis=0), B, axis=1)[:H, :W]
 
 
 def _make_shadow_kernel(H, W, TH, TW, params: RaymarchParams,
@@ -294,14 +427,29 @@ def _march_call(scene, ro, rd, params, interpret=False):
     n_box = scene.box_params.shape[0]
     n_pl = scene.plane_params.shape[0]
 
-    kernel = _make_march_kernel(H, W, TH, TW, params, n_sph, n_box, n_pl)
+    seeded = bool(params.coarse_seed)
+    kernel = _make_march_kernel(H, W, TH, TW, params, n_sph, n_box, n_pl,
+                                seeded=seeded)
     sc = flatten_scene(scene)
     rop = _pad2(ro, H_pad, Wp)
     rdp = _pad2(rd, H_pad, Wp)
+    extra_specs, extra = [], ()
+    if seeded:
+        # per-band scalar seeds: min of the cone stops over each fine tile
+        # (any lower seed stays skip-free).  The whole seed side-channel is
+        # one tiny SMEM grid — no full-res plane, no upsample, no pad.
+        B = _SEED_BLOCK
+        t_c = _cone_seed_coarse(scene, ro, rd, params, interpret)
+        gy, gx = grid
+        cy, cx = TH // B, TW // B
+        t_c = t_c[:gy * cy, :gx * cx]   # cone pad cells are max_dist
+        band_seeds = t_c.reshape(gy, cy, gx, cx).min(axis=(1, 3))
+        extra = (band_seeds,)
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     t, hit, mat = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + extra_specs
         + _tile_specs(TH, TW, 6),
         out_specs=tuple(_tile_specs(TH, TW, 3)),
         out_shape=(
@@ -310,7 +458,7 @@ def _march_call(scene, ro, rd, params, interpret=False):
             jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
         ),
         interpret=interpret,
-    )(sc, rop[0], rop[1], rop[2], rdp[0], rdp[1], rdp[2])
+    )(sc, *extra, rop[0], rop[1], rop[2], rdp[0], rdp[1], rdp[2])
     return (t[:H, :W], hit[:H, :W] > 0.5, mat[:H, :W].astype(jnp.int32))
 
 

@@ -277,3 +277,36 @@ def test_relaxed_shadow_no_less_accurate_than_plain(scene):
     agree_relax = (ref == v_relax).mean()
     assert agree_relax >= agree_plain - 0.002, (agree_relax, agree_plain)
     assert agree_relax > 0.9
+
+
+def test_cone_seed_conservative(scene):
+    """Half-res cone pre-march seeding (RaymarchParams.coarse_seed): the
+    seed must be skip-free — the SDF at every seeded start point is still
+    >= hit_eps (the cone-march invariant sdf >= hit_eps + base + s*delta
+    transfers at least hit_eps of clearance to every ray in the block) —
+    and the seeded march must find the same surfaces as marching from 0."""
+    from raymarchdenoisercuda_tpu.ops.raymarch import sdf_scene
+    from raymarchdenoisercuda_tpu.ops.pallas.raymarch_tpu import (
+        raymarch_pallas_with_mat, _cone_seed)
+
+    ro, rd, _ = camera_rays(cornell_camera(), CFG)
+    p0 = RaymarchParams(max_steps=64)
+    p1 = RaymarchParams(max_steps=64, coarse_seed=True)
+
+    seed = np.asarray(_cone_seed(scene, ro, rd, p1, True))
+    d_at, _ = sdf_scene(scene, ro + jnp.asarray(seed)[None] * rd)
+    dn = np.asarray(d_at)
+    non_escaped = seed < p1.max_dist
+    assert dn[non_escaped].min() >= 0.5 * p1.hit_eps, dn[non_escaped].min()
+
+    t0, h0, m0 = raymarch_pallas_with_mat(scene, ro, rd, p0, True)
+    t1, h1, m1 = raymarch_pallas_with_mat(scene, ro, rd, p1, True)
+    h0n, h1n = np.asarray(h0), np.asarray(h1)
+    # seeds are conservative: the seeded march can only be MORE converged,
+    # so disagreements are step-starved grazing pixels (cf. relaxed test)
+    assert (h0n == h1n).mean() > 0.998
+    both = h0n & h1n
+    dt = np.abs(np.asarray(t0) - np.asarray(t1))[both]
+    assert np.percentile(dt, 99) < 2 * p0.hit_eps, np.percentile(dt, 99)
+    # seeds never overshoot the final hit
+    assert (seed <= np.asarray(t1) + 1e-5).all()
