@@ -234,6 +234,51 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
     return H * W / dt / 1e6, dt
 
 
+def bench_train(H=1080, W=1920, iterations=5):
+    """BASELINE config 4, measured end to end at 1080p on the kernel path:
+    raymarch (Pallas, implicit-function VJP) -> temporal (differentiable
+    Pallas tent gather + hand-written adjoint) -> SVGF (Pallas, stored-weight
+    adjoint) -> pixel loss -> material gradients -> optax update.  The jnp
+    oracle cannot run this config: its 196-tap reprojection autodiff alone
+    wants ~29 GB of HBM at 1080p."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams, SVGFParams
+    from raymarchdenoisercuda_tpu.models.pipeline import (
+        make_train_step, init_train_state)
+    from raymarchdenoisercuda_tpu.ops.raymarch import cornell_scene, cornell_camera
+
+    scene = cornell_scene()
+    cam = cornell_camera()
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    opt = optax.adam(1e-2)
+    step = make_train_step(
+        scene, cam, target, opt,
+        cam_cfg=CameraParams(width=W, height=H),
+        rm_params=RaymarchParams(),
+        svgf_params=SVGFParams(iterations=iterations),
+        impl="pallas")
+    state0 = init_train_state(scene.materials.albedo, opt, H, W,
+                              jax.random.PRNGKey(0))
+
+    def make_chain(n):
+        @jax.jit
+        def f(state):
+            def body(i, carry):
+                state, acc = carry
+                state, loss = step(state)
+                return (state, acc + loss)
+            state, acc = jax.lax.fori_loop(0, n, body,
+                                           (state, jnp.float32(0.0)))
+            return jnp.sum(state.albedo) + acc
+        return f
+
+    dt = _chain_time(make_chain, state0, n_lo=2, n_hi=8)
+    return H * W / dt / 1e6, dt
+
+
 def _baseline_value():
     """First recorded round's north-star value, if any.
 
@@ -258,7 +303,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="fwd_bwd_1080p",
                     choices=["fwd_bwd_1080p", "fwd_1080p", "raymarch_1080p",
-                             "fwd_bwd_1080p_ref", "pipeline_1080p"])
+                             "fwd_bwd_1080p_ref", "pipeline_1080p",
+                             "train_1080p"])
     # NOTE: bf16 kernels are correct (interpret-mode parity + quality eval)
     # but current Mosaic cannot compile them: tpu.dynamic_rotate is
     # unimplemented for 16-bit data and width-changing pltpu.bitcast hangs
@@ -311,6 +357,10 @@ def main():
                                    weight_math=args.wmath)
         wm = "" if args.wmath == "exact" else " fastw"
         metric = f"raymarch+temporal+SVGF frame 1080p ({args.precision}{wm})"
+    elif args.config == "train_1080p":
+        value, dt = bench_train()
+        extra["ms_per_step"] = round(dt * 1e3, 2)
+        metric = "train step 1080p (pallas, ad-temporal)"
     else:
         value, dt = bench_raymarch(repeats=min(args.repeats, 5))
         import jax as _jax

@@ -23,7 +23,7 @@ from .svgf import svgf_denoise_frame
 
 @functools.partial(jax.jit, static_argnames=("cam_cfg", "rm_params",
                                               "svgf_params", "impl", "spp",
-                                              "precision"))
+                                              "precision", "temporal"))
 def render_and_denoise(
     scene: Scene,
     camera: Camera,
@@ -37,6 +37,7 @@ def render_and_denoise(
     impl: str = "reference",
     spp: int = 1,
     precision: str = "f32",
+    temporal: str = "auto",
 ) -> Tuple[GBuffer, History]:
     """One frame of the full pipeline (render + denoise), differentiable.
 
@@ -48,7 +49,7 @@ def render_and_denoise(
                           cam_cfg=cam_cfg, params=rm_params, spp=spp,
                           impl=rm_impl)
     return svgf_denoise_frame(gbuf, history, params=svgf_params, impl=impl,
-                              precision=precision)
+                              precision=precision, temporal=temporal)
 
 
 class TrainState(NamedTuple):
@@ -83,6 +84,10 @@ def make_train_step(
             scene, camera, None, history, key,
             cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params,
             impl=impl,
+            # training must flow gradients through the temporal blend: the
+            # pallas path uses the differentiable kernel pair (gather +
+            # hand-written adjoint), not the fused inference kernel
+            temporal="ad" if impl == "pallas" else "auto",
         )
         loss = jnp.mean((out.denoised - target) ** 2)
         return loss, new_hist

@@ -40,7 +40,7 @@ def remodulate(irradiance: jax.Array, albedo: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit, static_argnames=("params", "detach_weights", "demodulate_albedo",
-                              "impl", "precision", "weight_math")
+                              "impl", "precision", "weight_math", "temporal")
 )
 def svgf_denoise_frame(
     gbuf: GBuffer,
@@ -52,11 +52,17 @@ def svgf_denoise_frame(
     impl: str = "reference",
     precision: str = "f32",
     weight_math: str = "exact",
+    temporal: str = "auto",
 ) -> Tuple[GBuffer, History]:
     """Denoise one frame with full SVGF; returns (gbuffer+denoised, new history).
 
     ``impl``: "reference" = jnp oracle; "pallas" = TPU Pallas kernels
     (ops/pallas/atrous_tpu.py).
+
+    ``temporal`` picks the temporal-step implementation on the pallas path:
+    "auto" = the fused inference band kernel (no VJP); "ad" = the
+    differentiable kernel pair (Pallas tent gather + hand-written adjoint,
+    epilogue shared with the oracle — use for training); "oracle" = jnp.
     """
     if demodulate_albedo:
         irr = demodulate(gbuf.render, gbuf.albedo)
@@ -64,12 +70,18 @@ def svgf_denoise_frame(
     else:
         work = gbuf
 
-    if impl == "pallas" and params.max_motion is not None:
+    use_kernel = impl == "pallas" and params.max_motion is not None
+    if use_kernel and temporal in ("auto", "fused"):
         # fused band kernel (bit-exact vs the jnp path; inference-only — for
-        # gradients through the temporal blend use impl="reference")
+        # gradients through the temporal blend use temporal="ad")
         from ..ops.pallas.temporal_tpu import temporal_accumulate_pallas
 
         integrated, variance, new_history = temporal_accumulate_pallas(
+            work, history, params=params)
+    elif use_kernel and temporal == "ad":
+        from ..ops.pallas.temporal_tpu import temporal_accumulate_pallas_ad
+
+        integrated, variance, new_history = temporal_accumulate_pallas_ad(
             work, history, params=params)
     else:
         integrated, variance, new_history = temporal_accumulate(

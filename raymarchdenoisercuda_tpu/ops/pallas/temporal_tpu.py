@@ -396,3 +396,310 @@ def temporal_accumulate_tile(
         prev_normal=crop(gbuf_p.normal),
     )
     return crop(integ_p), crop(var_p), new_history
+
+
+# ---------------------------------------------------------------------------
+# Differentiable reprojection: tent-tap gather with a hand-written adjoint
+# (round-2 verdict item: the last jnp-only stage on the training path).
+# The temporal step factors as  gather -> elementwise epilogue ; the gather
+# is the heavy bounded-motion tent stencil (kernels below, both directions),
+# the epilogue is shared VERBATIM with the jnp oracle
+# (ops.temporal._temporal_epilogue), so XLA autodiffs it identically.
+# ---------------------------------------------------------------------------
+
+def _tent_prime(x):
+    """d/dx max(0, 1-|x|) matching JAX autodiff exactly: -sign with
+    sign(0)=+1 inside the support, half-weight at the |x|=1 ties."""
+    a = jnp.abs(x)
+    sgn = jnp.where(x >= 0, 1.0, -1.0)
+    w = jnp.where(a < 1.0, 1.0, jnp.where(a == 1.0, 0.5, 0.0))
+    return -sgn * w
+
+
+def _gather_geometry(H, W, params):
+    M = params.max_motion
+    Wp = _round_up(W, 128)
+    if Wp - W < M + 2:
+        Wp += 128  # lane pad doubles as the zero-fill region for column taps
+    CH = _round_up(M + 1, 8)
+    TH = min(64, _round_up(H, 8))
+    H_pad = _round_up(H, TH)
+    return M, Wp, CH, TH, H_pad
+
+
+def _make_gather_kernel(TH, Wp, CH, BLKH, M):
+    def kernel(hist_hbm, motion_ref, out_ref, hist_s, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def make_copy(slot, band):
+            row0 = pl.multiple_of(band * TH, 8)
+            return pltpu.make_async_copy(
+                hist_hbm.at[:, pl.ds(row0, BLKH), :], hist_s.at[slot],
+                sems.at[slot])
+
+        slot = jax.lax.rem(b, 2)
+        nslot = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _():
+            make_copy(0, 0).start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            make_copy(nslot, b + 1).start()
+
+        make_copy(slot, b).wait()
+        hist_t = hist_s[slot]          # (10, BLKH, Wp)
+        m0, m1 = motion_ref[0], motion_ref[1]
+
+        m0c = jnp.clip(m0, -float(M), float(M))
+        m1c = jnp.clip(m1, -float(M), float(M))
+        dylo = jnp.floor(jnp.min(m0c)).astype(jnp.int32)
+        dyhi = jnp.floor(jnp.max(m0c)).astype(jnp.int32) + 1
+        dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
+        dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
+
+        def dy_body(carry):
+            dy, acc = carry
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(m0 - dy.astype(jnp.float32)))
+            band_y = pltpu.roll(hist_t, jnp.mod(-dy, BLKH), axis=1)
+            ctr = _rows(band_y, CH, TH)
+
+            def dx_body(carry2):
+                dx, acc2 = carry2
+                tx = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(m1 - dx.astype(jnp.float32)))
+                shifted = pltpu.roll(ctr, jnp.mod(-dx, Wp), axis=2)
+                return dx + 1, acc2 + (ty * tx)[None] * shifted
+
+            _, acc = jax.lax.while_loop(
+                lambda c2: c2[0] <= dxhi, dx_body, (dxlo, acc))
+            return dy + 1, acc
+
+        acc0 = jnp.zeros((10, TH, Wp), jnp.float32)
+        _, gathered = jax.lax.while_loop(
+            lambda c: c[0] <= dyhi, dy_body, (dylo, acc0))
+        out_ref[:] = gathered
+
+    return kernel
+
+
+def _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M):
+    """Adjoint of the tent gather: d_hist is the transposed tent scatter
+    (each source's weighted cotangent rolled FORWARD by its offset); d_motion
+    dots the cotangent against tent-derivative-weighted history taps."""
+    def kernel(hist_hbm, g_hbm, mot_hbm, dh_ref, dm_ref,
+               hist_s, g_s, mot_s, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+        hbm = (hist_hbm, g_hbm, mot_hbm)
+        scratch = (hist_s, g_s, mot_s)
+
+        def make_copies(slot, band):
+            row0 = pl.multiple_of(band * TH, 8)
+            return [pltpu.make_async_copy(
+                src.at[:, pl.ds(row0, BLKH), :], dst.at[slot],
+                sems.at[slot, i]) for i, (src, dst) in enumerate(
+                    zip(hbm, scratch))]
+
+        slot = jax.lax.rem(b, 2)
+        nslot = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _():
+            for cp in make_copies(0, 0):
+                cp.start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            for cp in make_copies(nslot, b + 1):
+                cp.start()
+
+        for cp in make_copies(slot, b):
+            cp.wait()
+
+        hist_t = hist_s[slot]       # (10, BLKH, Wp) haloed history
+        g_t = g_s[slot]             # (10, BLKH, Wp) haloed cotangent
+        mot_t = mot_s[slot]         # (2, BLKH, Wp) haloed motion
+        m0h, m1h = mot_t[0], mot_t[1]
+        m0 = _rows(m0h, CH, TH)     # center-row motion
+        m1 = _rows(m1h, CH, TH)
+        g_c = _rows(g_t, CH, TH)    # center-row cotangent
+
+        # offset range from the HALOED motion (superset of every source
+        # row's bracketing offsets; extra taps have exactly zero tent weight)
+        m0c = jnp.clip(m0h, -float(M), float(M))
+        m1c = jnp.clip(m1h, -float(M), float(M))
+        dylo = jnp.floor(jnp.min(m0c)).astype(jnp.int32)
+        dyhi = jnp.floor(jnp.max(m0c)).astype(jnp.int32) + 1
+        dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
+        dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
+
+        def dy_body(carry):
+            dy, dh, dm0, dm1 = carry
+            dyf = dy.astype(jnp.float32)
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(m0 - dyf))
+            typ = _tent_prime(m0 - dyf)
+            ty_h = jnp.maximum(0.0, 1.0 - jnp.abs(m0h - dyf))
+            hist_y = pltpu.roll(hist_t, jnp.mod(-dy, BLKH), axis=1)
+            hist_ctr = _rows(hist_y, CH, TH)
+
+            def dx_body(carry2):
+                dx, dh2, dm0_2, dm1_2 = carry2
+                dxf = dx.astype(jnp.float32)
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(m1 - dxf))
+                txp = _tent_prime(m1 - dxf)
+                # d_motion: cotangent . tent'-weighted history taps
+                hist_sh = pltpu.roll(hist_ctr, jnp.mod(-dx, Wp), axis=2)
+                gdot = jnp.zeros((TH, Wp), jnp.float32)
+                for c in range(10):
+                    gdot = gdot + g_c[c] * hist_sh[c]
+                dm0_2 = dm0_2 + (typ * tx) * gdot
+                dm1_2 = dm1_2 + (ty * txp) * gdot
+                # d_hist: source-weighted cotangent rolled forward
+                tx_h = jnp.maximum(0.0, 1.0 - jnp.abs(m1h - dxf))
+                P = (ty_h * tx_h)[None] * g_t
+                P = pltpu.roll(P, jnp.mod(dy, BLKH), axis=1)
+                P = pltpu.roll(P, jnp.mod(dx, Wp), axis=2)
+                return dx + 1, dh2 + P, dm0_2, dm1_2
+
+            _, dh, dm0, dm1 = jax.lax.while_loop(
+                lambda c2: c2[0] <= dxhi, dx_body, (dxlo, dh, dm0, dm1))
+            return dy + 1, dh, dm0, dm1
+
+        dh0 = jnp.zeros((10, BLKH, Wp), jnp.float32)
+        z = jnp.zeros((TH, Wp), jnp.float32)
+        _, dh, dm0, dm1 = jax.lax.while_loop(
+            lambda c: c[0] <= dyhi, dy_body, (dylo, dh0, z, z))
+        dh_ref[:] = _rows(dh, CH, TH)
+        dm_ref[:] = jnp.stack([dm0, dm1])
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _reproject_gather(hist_stack, motion, params: SVGFParams,
+                      interpret: bool = False):
+    """Bounded-motion tent reprojection of the (10, H, W) history stack —
+    mathematically identical to ``ops.temporal.bilinear_shift_sample_many``
+    (the oracle's static 196-tap formulation), evaluated per row band over
+    the offsets the band's motion actually brackets.  Differentiable: the
+    adjoint is a Pallas kernel too (transposed tent scatter + tent-derivative
+    motion gradient)."""
+    return _gather_call(hist_stack, motion, params, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def _gather_call(hist_stack, motion, params, interpret=False):
+    H, W = hist_stack.shape[-2:]
+    M, Wp, CH, TH, H_pad = _gather_geometry(H, W, params)
+    BLKH = TH + 2 * CH
+    grid = H_pad // TH
+    kernel = _make_gather_kernel(TH, Wp, CH, BLKH, M)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec((2, TH, Wp), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((10, TH, Wp), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, H_pad, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, BLKH, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(_pad_rows_halo(hist_stack, H_pad, CH, Wp),
+      _pad2(motion, H_pad, Wp))
+    return out[:, :H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def _gather_bwd_call(hist_stack, motion, g, params, interpret=False):
+    H, W = hist_stack.shape[-2:]
+    M, Wp, CH, TH, H_pad = _gather_geometry(H, W, params)
+    # the adjoint stages three haloed stacks (hist, cotangent, motion) and
+    # carries a haloed accumulator — half the band keeps it inside VMEM
+    TH = min(32, TH)
+    H_pad = _round_up(H, TH)
+    BLKH = TH + 2 * CH
+    grid = H_pad // TH
+    kernel = _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M)
+    dh, dm = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        out_specs=(pl.BlockSpec((10, TH, Wp), lambda b: (0, b, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((2, TH, Wp), lambda b: (0, b, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((10, H_pad, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((2, H_pad, Wp), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, BLKH, Wp), jnp.float32),
+            pltpu.VMEM((2, 10, BLKH, Wp), jnp.float32),
+            pltpu.VMEM((2, 2, BLKH, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(_pad_rows_halo(hist_stack, H_pad, CH, Wp),
+      _pad_rows_halo(g, H_pad, CH, Wp),
+      _pad_rows_halo(motion, H_pad, CH, Wp))
+    return dh[:, :H, :W], dm[:, :H, :W]
+
+
+def _reproject_fwd(hist_stack, motion, params, interpret):
+    return _gather_call(hist_stack, motion, params, interpret), (
+        hist_stack, motion)
+
+
+def _reproject_bwd(params, interpret, res, g):
+    hist_stack, motion = res
+    return _gather_bwd_call(hist_stack, motion, g, params, interpret)
+
+
+_reproject_gather.defvjp(_reproject_fwd, _reproject_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def temporal_accumulate_pallas_ad(
+    gbuf: GBuffer,
+    history: History,
+    *,
+    params: SVGFParams = SVGFParams(),
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, History]:
+    """Differentiable temporal step on TPU: Pallas tent gather (custom VJP,
+    both directions kernels) + the oracle's epilogue verbatim — forward
+    results and gradients match ``ops.temporal.temporal_accumulate`` (the
+    round-2 verdict's "last jnp-only stage on the training path")."""
+    if params.max_motion is None:
+        raise ValueError("temporal_accumulate_pallas_ad requires "
+                         "SVGFParams.max_motion (bounded reprojection)")
+    from ..temporal import _temporal_epilogue
+
+    H, W = gbuf.shape
+    color = gbuf.render
+    motion = (gbuf.motion if gbuf.motion is not None
+              else jnp.zeros((2, H, W), color.dtype))
+    hist_stack = jnp.concatenate([
+        history.color, history.moments, history.length[None],
+        history.prev_depth[None], history.prev_normal,
+    ])
+    gathered = _reproject_gather(hist_stack, motion, params, interpret)
+
+    m0, m1 = motion[0], motion[1]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(color.dtype)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(color.dtype)
+    ys, xs = iy + m0, ix + m1
+    M = params.max_motion
+    in_bounds = ((ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+                 & (jnp.abs(m0) <= M) & (jnp.abs(m1) <= M))
+
+    planes = (gathered[0:3], gathered[3:5], gathered[5], gathered[6],
+              gathered[7:10])
+    return _temporal_epilogue(gbuf, planes, in_bounds, params)

@@ -181,38 +181,14 @@ def spatial_moments(lum: jax.Array, radius: int = 3) -> Tuple[jax.Array, jax.Arr
     return winsum(lum) * inv_cnt, winsum(lum * lum) * inv_cnt
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def temporal_accumulate(
-    gbuf: GBuffer,
-    history: History,
-    *,
-    params: SVGFParams = SVGFParams(),
-) -> Tuple[jax.Array, jax.Array, History]:
-    """One temporal step.
-
-    Returns ``(integrated_color, variance, new_history)``; ``new_history`` has
-    the integrated color/moments but still needs its ``color`` replaced by the
-    à-trous feedback level output (see models/svgf.py).
-    """
-    H, W = gbuf.shape
+def _temporal_epilogue(gbuf, gathered, in_bounds, params):
+    """Everything after the history reprojection: validity, history clamp,
+    EMA accumulation, moments/variance.  Shared verbatim by the jnp oracle
+    (:func:`temporal_accumulate`) and the differentiable TPU path
+    (``ops.pallas.temporal_tpu.temporal_accumulate_pallas_ad``), so the two
+    agree bit-for-bit in the forward and through autodiff in the backward
+    for this part; only the gather is swapped."""
     color = gbuf.render
-    motion = gbuf.motion if gbuf.motion is not None else jnp.zeros((2, H, W), color.dtype)
-
-    iy = jnp.arange(H, dtype=color.dtype)[:, None] * jnp.ones((1, W), color.dtype)
-    ix = jnp.ones((H, 1), color.dtype) * jnp.arange(W, dtype=color.dtype)[None, :]
-    ys = iy + motion[0]
-    xs = ix + motion[1]
-
-    in_bounds = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
-
-    hist_planes = [history.color, history.moments, history.length,
-                   history.prev_depth, history.prev_normal]
-    if params.max_motion is not None:
-        gathered, within = bilinear_shift_sample_many(
-            hist_planes, motion, params.max_motion)
-        in_bounds = in_bounds & within
-    else:
-        gathered = bilinear_gather_many(hist_planes, ys, xs)
     prev_color, prev_moments, prev_len, prev_depth, prev_normal = gathered
 
     # geometric consistency: relative depth + normal agreement
@@ -258,3 +234,39 @@ def temporal_accumulate(
         prev_normal=gbuf.normal,
     )
     return integrated, variance, new_history
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def temporal_accumulate(
+    gbuf: GBuffer,
+    history: History,
+    *,
+    params: SVGFParams = SVGFParams(),
+) -> Tuple[jax.Array, jax.Array, History]:
+    """One temporal step.
+
+    Returns ``(integrated_color, variance, new_history)``; ``new_history`` has
+    the integrated color/moments but still needs its ``color`` replaced by the
+    à-trous feedback level output (see models/svgf.py).
+    """
+    H, W = gbuf.shape
+    color = gbuf.render
+    motion = gbuf.motion if gbuf.motion is not None else jnp.zeros((2, H, W), color.dtype)
+
+    iy = jnp.arange(H, dtype=color.dtype)[:, None] * jnp.ones((1, W), color.dtype)
+    ix = jnp.ones((H, 1), color.dtype) * jnp.arange(W, dtype=color.dtype)[None, :]
+    ys = iy + motion[0]
+    xs = ix + motion[1]
+
+    in_bounds = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+
+    hist_planes = [history.color, history.moments, history.length,
+                   history.prev_depth, history.prev_normal]
+    if params.max_motion is not None:
+        gathered, within = bilinear_shift_sample_many(
+            hist_planes, motion, params.max_motion)
+        in_bounds = in_bounds & within
+    else:
+        gathered = bilinear_gather_many(hist_planes, ys, xs)
+
+    return _temporal_epilogue(gbuf, gathered, in_bounds, params)

@@ -276,3 +276,117 @@ def test_sharded_temporal_pallas_kernel_parity(rng, mag):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_h.length),
                                np.asarray(want_h.length))
+
+
+def _rand_gbuf_hist(rng, H=40, W=48):
+    r2 = np.random.default_rng(7)
+    n = r2.standard_normal((3, H, W)).astype(np.float32)
+    n[2] += 2.5
+    n /= np.sqrt((n ** 2).sum(0, keepdims=True))
+    g = GBuffer(
+        render=jnp.asarray(rng.random((3, H, W), dtype=np.float32)),
+        albedo=jnp.full((3, H, W), 0.7),
+        normal=jnp.asarray(n),
+        depth=jnp.asarray(0.5 + rng.random((H, W), dtype=np.float32)),
+        motion=jnp.asarray(((rng.random((2, H, W)) - 0.5) * 8).astype(np.float32)),
+    )
+    hist = History(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)),
+        moments=jnp.asarray(rng.random((2, H, W), dtype=np.float32)),
+        length=jnp.asarray((rng.random((H, W)) * 6).astype(np.float32)),
+        prev_depth=g.depth,
+        prev_normal=g.normal,
+    )
+    return g, hist
+
+
+def test_temporal_ad_forward_parity_interpret(rng):
+    """Differentiable temporal kernel (Pallas tent gather + shared oracle
+    epilogue) is bit-exact vs temporal_accumulate in the forward (round-2
+    verdict item #2: the last jnp-only stage on the training path)."""
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        temporal_accumulate_pallas_ad)
+
+    g, hist = _rand_gbuf_hist(rng)
+    params = SVGFParams(max_motion=6)
+    a = temporal_accumulate(g, hist, params=params)
+    b = temporal_accumulate_pallas_ad(g, hist, params=params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2].color), np.asarray(b[2].color))
+    np.testing.assert_array_equal(np.asarray(a[2].moments), np.asarray(b[2].moments))
+    np.testing.assert_array_equal(np.asarray(a[2].length), np.asarray(b[2].length))
+
+
+def test_temporal_ad_gradient_parity_interpret(rng):
+    """jax.grad through the ad kernel == oracle autodiff for every
+    differentiable input (render, history color/moments/length, motion) —
+    the hand-written adjoint is the transposed tent scatter plus the
+    tent-derivative motion term, matching JAX's kink conventions."""
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        temporal_accumulate_pallas_ad)
+
+    g, hist = _rand_gbuf_hist(rng)
+    params = SVGFParams(max_motion=6)
+
+    def loss(fn, interp):
+        def L(render, hc, hm, hl, mot):
+            gg = g.replace(render=render, motion=mot)
+            hh = hist.replace(color=hc, moments=hm, length=hl)
+            kw = {"interpret": True} if interp else {}
+            i, v, nh = fn(gg, hh, params=params, **kw)
+            return (jnp.sum(i ** 2) + jnp.sum(v * 1.3)
+                    + jnp.sum(nh.color * 0.7) + jnp.sum(nh.moments * 0.3)
+                    + jnp.sum(nh.length * 0.1))
+        return L
+
+    args = (g.render, hist.color, hist.moments, hist.length, g.motion)
+    ga = jax.grad(loss(temporal_accumulate, False), argnums=(0, 1, 2, 3, 4))(*args)
+    gb = jax.grad(loss(temporal_accumulate_pallas_ad, True),
+                  argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["d_render", "d_hist_color", "d_hist_moments", "d_hist_length",
+             "d_motion"]
+    for name, x, y in zip(names, ga, gb):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+        assert np.abs(np.asarray(x)).max() > 0, f"{name} trivially zero"
+
+
+def test_train_step_pallas_temporal_ad(rng):
+    """make_train_step(impl='pallas') now differentiates through the
+    temporal kernel (BASELINE config 4 on the full kernel path): loss is
+    finite and albedo receives nonzero gradients (interpret mode)."""
+    import optax
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.models.pipeline import (
+        render_and_denoise)
+    from raymarchdenoisercuda_tpu.ops.raymarch import cornell_scene, cornell_camera
+    from raymarchdenoisercuda_tpu.gbuffer import History as Hist
+
+    H = W = 48
+    scene = cornell_scene()
+    cfg = CameraParams(width=W, height=H)
+    rm = RaymarchParams(max_steps=32, shadow_steps=16)
+    sv = SVGFParams(iterations=2, max_motion=4)
+    target = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+
+    def loss_fn(albedo, history):
+        s = scene.replace(materials=scene.materials.replace(albedo=albedo))
+        out, nh = render_and_denoise(
+            s, cornell_camera(), cornell_camera(), history,
+            jax.random.PRNGKey(0), cam_cfg=cfg, rm_params=rm, svgf_params=sv,
+            impl="pallas", temporal="ad")
+        return jnp.mean((out.denoised - target) ** 2), nh
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    hist = Hist.zeros(H, W)
+    # run one frame to warm the history, then differentiate through frame 2
+    with pltpu.force_tpu_interpret_mode():
+        _, hist = loss_fn(scene.materials.albedo, hist)
+        (val, _nh), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            scene.materials.albedo, hist)
+    assert np.isfinite(float(val))
+    gn = np.asarray(grads)
+    assert np.isfinite(gn).all()
+    assert np.abs(gn[:3]).max() > 0
