@@ -234,6 +234,55 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
     return H * W / dt / 1e6, dt
 
 
+def bench_seq(H=512, W=512, iterations=5):
+    """BASELINE config 2: Cornell-scale 512^2, full SVGF (temporal
+    reprojection + variance guidance + 5-level à-trous), 8-frame sequence.
+    Correctness of the sequence flow is tests/test_sequence.py; this
+    measures per-frame throughput with the frame chain as the dependency
+    (fresh MC noise per frame, constant small camera motion)."""
+    import jax
+    import jax.numpy as jnp
+    from raymarchdenoisercuda_tpu.config import SVGFParams
+    from raymarchdenoisercuda_tpu.gbuffer import GBuffer, History
+    from raymarchdenoisercuda_tpu.models.svgf import svgf_denoise_frame
+
+    params = SVGFParams(iterations=iterations)
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    albedo = jnp.asarray(0.2 + 0.6 * rng.random((3, H, W), dtype=np.float32))
+    n = rng.standard_normal((3, H, W)).astype(np.float32)
+    n[2] += 3.0
+    n /= np.sqrt((n ** 2).sum(0, keepdims=True))
+    normal = jnp.asarray(n)
+    depth = jnp.asarray((0.3 + 0.5 * rng.random((H, W))).astype(np.float32))
+    motion = jnp.full((2, H, W), 1.3, jnp.float32)  # slow pan
+    platform = jax.devices()[0].platform
+    impl = "pallas" if platform in ("tpu", "axon") else "reference"
+
+    def make_chain(n_frames):
+        @jax.jit
+        def f(key):
+            hist = History.zeros(H, W)
+
+            def body(i, carry):
+                hist, key, acc = carry
+                key, sub = jax.random.split(key)
+                noise = 0.3 * jax.random.normal(sub, base.shape)
+                g = GBuffer(render=jnp.abs(base + noise), albedo=albedo,
+                            normal=normal, depth=depth, motion=motion)
+                out, hist = svgf_denoise_frame(g, hist, params=params,
+                                               impl=impl)
+                return (hist, key, acc + jnp.sum(out.denoised))
+
+            hist, _, acc = jax.lax.fori_loop(
+                0, n_frames, body, (hist, key, jnp.float32(0.0)))
+            return jnp.sum(hist.color) + acc
+        return f
+
+    dt = _chain_time(make_chain, jax.random.PRNGKey(0), n_lo=2, n_hi=10)
+    return H * W / dt / 1e6, dt
+
+
 def bench_train(H=1080, W=1920, iterations=5):
     """BASELINE config 4, measured end to end at 1080p on the kernel path:
     raymarch (Pallas, implicit-function VJP) -> temporal (differentiable
@@ -304,7 +353,7 @@ def main():
     ap.add_argument("--config", default="fwd_bwd_1080p",
                     choices=["fwd_bwd_1080p", "fwd_1080p", "raymarch_1080p",
                              "fwd_bwd_1080p_ref", "pipeline_1080p",
-                             "train_1080p"])
+                             "train_1080p", "seq_512"])
     # NOTE: bf16 kernels are correct (interpret-mode parity + quality eval)
     # but current Mosaic cannot compile them: tpu.dynamic_rotate is
     # unimplemented for 16-bit data and width-changing pltpu.bitcast hangs
@@ -361,6 +410,10 @@ def main():
         value, dt = bench_train()
         extra["ms_per_step"] = round(dt * 1e3, 2)
         metric = "train step 1080p (pallas, ad-temporal)"
+    elif args.config == "seq_512":
+        value, dt = bench_seq()
+        extra["ms_per_frame"] = round(dt * 1e3, 2)
+        metric = "full SVGF 512^2 8-frame sequence (temporal+spatial)"
     else:
         value, dt = bench_raymarch(repeats=min(args.repeats, 5))
         import jax as _jax
