@@ -1704,7 +1704,7 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
                             *, level: int, params: SVGFParams, TH: int,
                             margin: int, bounds: Tuple[int, int],
                             interpret: bool = False, save_w_dtype=None,
-                            fast_weights: bool = False):
+                            fast_weights: bool = False, origin=None):
     """One forward level, canvas in / canvas out.  Returns (colorC', varC',
     normC) canvases — plus, with ``save_w_dtype`` set, the (n_taps, CH, Wp)
     stored-weight canvas the stored backward consumes (bf16 storage halves

@@ -281,7 +281,12 @@ def temporal_accumulate_local(
 
     ``impl="pallas"`` routes through the fused temporal band kernel on
     halo-exchanged tiles (``temporal_accumulate_tile``) — inference-only
-    (no VJP); training paths keep the jnp math.
+    (no VJP).  ``impl="pallas_ad"`` runs the *differentiable* Pallas tent
+    gather (``_reproject_gather``, custom VJP in both directions) on the
+    halo-exchanged tile-as-image and keeps the jnp epilogue — the sharded
+    training path's kernel route: ``exchange_halo2d`` is ``ppermute``-based,
+    so shard_map transposes the halo exchange and the gather adjoint's halo
+    gradients ride ICI back to the owning devices for free.
 
     The disocclusion policy is shared with the single-device path:
     ``params.max_motion`` is the single source of truth, accepted inclusively
@@ -330,17 +335,33 @@ def temporal_accumulate_local(
     in_bounds = ((gys >= 0) & (gys <= Hg - 1) & (gxs >= 0) & (gxs <= Wg - 1)
                  & (jnp.abs(motion[0]) <= mm) & (jnp.abs(motion[1]) <= mm))
 
-    hc = exchange_halo2d(history.color, mh)
-    hm = exchange_halo2d(history.moments, mh)
-    hl = exchange_halo2d(history.length, mh)
-    hd = exchange_halo2d(history.prev_depth, mh)
-    hn = exchange_halo2d(history.prev_normal, mh)
+    if impl == "pallas_ad":
+        # Differentiable kernel gather on the halo-exchanged tile-as-image:
+        # every accepted-motion center pixel's tent taps land inside the
+        # mh-wide halo (mh = max_motion + 1 covers the bilinear ceil tap), so
+        # center results equal the oracle's; halo-row outputs are cropped.
+        from ..ops.pallas.temporal_tpu import _reproject_gather
 
-    prev_color = _bilinear_gather_padded(hc, ys, xs, mh)
-    prev_moments = _bilinear_gather_padded(hm, ys, xs, mh)
-    prev_len = _bilinear_gather_padded(hl, ys, xs, mh)
-    prev_depth = _bilinear_gather_padded(hd, ys, xs, mh)
-    prev_normal = _bilinear_gather_padded(hn, ys, xs, mh)
+        hist_stack = jnp.concatenate([
+            history.color, history.moments, history.length[None],
+            history.prev_depth[None], history.prev_normal])
+        g = _reproject_gather(
+            exchange_halo2d(hist_stack, mh), exchange_halo2d(motion, mh),
+            params, interpret)[:, mh:mh + th, mh:mh + tw]
+        prev_color, prev_moments = g[0:3], g[3:5]
+        prev_len, prev_depth, prev_normal = g[5], g[6], g[7:10]
+    else:
+        hc = exchange_halo2d(history.color, mh)
+        hm = exchange_halo2d(history.moments, mh)
+        hl = exchange_halo2d(history.length, mh)
+        hd = exchange_halo2d(history.prev_depth, mh)
+        hn = exchange_halo2d(history.prev_normal, mh)
+
+        prev_color = _bilinear_gather_padded(hc, ys, xs, mh)
+        prev_moments = _bilinear_gather_padded(hm, ys, xs, mh)
+        prev_len = _bilinear_gather_padded(hl, ys, xs, mh)
+        prev_depth = _bilinear_gather_padded(hd, ys, xs, mh)
+        prev_normal = _bilinear_gather_padded(hn, ys, xs, mh)
 
     depth_ok = jnp.abs(prev_depth - gbuf.depth) <= 0.1 * jnp.maximum(
         jnp.abs(gbuf.depth), 1e-3)
@@ -420,9 +441,10 @@ def pipeline_local(
     pixel window); temporal + spatial use ICI halo exchange.
     ``impl="pallas"`` routes the raymarch and the à-trous levels through
     the TPU kernels (banded march + tile band kernels).
-    ``temporal_impl``: "auto" follows ``impl`` (the temporal band kernel on
-    the inference path); training steps pass "oracle" explicitly — the
-    temporal kernel has no VJP (models/svgf.py convention).
+    ``temporal_impl``: "auto" follows ``impl`` (the fused temporal band
+    kernel on the inference path); training steps pass "pallas_ad" (the
+    differentiable tent-gather kernel) or "oracle" explicitly — the fused
+    inference kernel has no VJP (models/svgf.py convention).
     """
     if temporal_impl == "auto":
         temporal_impl = impl
@@ -488,7 +510,8 @@ def make_sharded_pipeline(
 def make_sharded_train_step(
     mesh: Mesh, base_scene, camera, target, optimizer,
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
-    svgf_params: SVGFParams, impl: str = "oracle", interpret: bool = False,
+    svgf_params: SVGFParams, impl: str = "oracle",
+    temporal_impl: str = "auto", interpret: bool = False,
 ):
     """Sharded version of models.pipeline.make_train_step: loss + grads of
     the material table with the image pipeline sharded over ('y','x') and —
@@ -503,7 +526,13 @@ def make_sharded_train_step(
     batch axis sharded P('data')); the loss is the pmean of the slice
     losses, so the material gradient averages over ``data_size`` independent
     MC estimates per step.
+
+    ``temporal_impl="auto"`` picks the differentiable temporal kernel
+    (``"pallas_ad"``) whenever the spatial path runs kernels, else the jnp
+    oracle; both are end-to-end differentiable inside shard_map.
     """
+    if temporal_impl == "auto":
+        temporal_impl = "pallas_ad" if impl == "pallas" else "oracle"
     nd = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
     if nd > 1:
         hist_specs = History(
@@ -526,7 +555,7 @@ def make_sharded_train_step(
             scene, camera, None, history, key,
             target.shape[-2], target.shape[-1],
             cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params,
-            impl=impl, temporal_impl="oracle", interpret=interpret)
+            impl=impl, temporal_impl=temporal_impl, interpret=interpret)
         # mean over the full image = psum of tile sums / global pixel count
         sse = jnp.sum((out.denoised - target_tile) ** 2)
         loss = lax.psum(lax.psum(sse, "y"), "x") / (3 * target.shape[-2] * target.shape[-1])

@@ -390,3 +390,92 @@ def test_train_step_pallas_temporal_ad(rng):
     gn = np.asarray(grads)
     assert np.isfinite(gn).all()
     assert np.abs(gn[:3]).max() > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sharded_temporal_ad_forward_parity(rng):
+    """impl="pallas_ad" inside shard_map: the differentiable tent-gather
+    kernel on halo-exchanged tiles matches the single-device oracle —
+    the sharded training path's temporal kernel route."""
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.parallel.mesh import make_mesh
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_local, PLANE, PLANES,
+    )
+
+    H = W = 32
+    motion = jnp.zeros((2, H, W)).at[1].set(2.25).at[0].set(-1.5)
+    g = _gbuf(rng, H, W, motion=motion)
+    hist = _warm_history(g).replace(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)))
+    params = SVGFParams(history_clamp=True, max_motion=4)
+
+    want_c, want_v, want_h = temporal_accumulate(g, hist, params=params)
+
+    mesh = make_mesh(4)
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=None)
+    h_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                      prev_depth=PLANE, prev_normal=PLANES)
+    fn = shard_map(
+        lambda gb, h: temporal_accumulate_local(
+            gb, h, H, W, params=params, impl="pallas_ad", interpret=True),
+        mesh=mesh, in_specs=(gb_specs, h_specs),
+        out_specs=(PLANES, PLANE, h_specs), check_vma=False)
+    got_c, got_v, got_h = fn(g.replace(denoised=None), hist)
+
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h.length),
+                               np.asarray(want_h.length))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sharded_temporal_ad_gradient_parity(rng):
+    """jax.grad through shard_map + the tent-gather custom VJP == oracle
+    autodiff: ppermute transposes route halo gradients back to the owning
+    tiles, the kernel adjoint handles the tent scatter + motion term."""
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.parallel.mesh import make_mesh
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_local, PLANE, PLANES,
+    )
+
+    H = W = 32
+    motion = jnp.zeros((2, H, W)).at[1].set(1.75).at[0].set(-0.5)
+    g = _gbuf(rng, H, W, motion=motion)
+    hist = _warm_history(g).replace(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)))
+    params = SVGFParams(history_clamp=True, max_motion=4)
+
+    mesh = make_mesh(4)
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=None)
+    h_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                      prev_depth=PLANE, prev_normal=PLANES)
+
+    def make_loss(fn):
+        def L(render, hc, mot):
+            gg = g.replace(render=render, motion=mot, denoised=None)
+            hh = hist.replace(color=hc)
+            i, v, nh = fn(gg, hh)
+            return (jnp.sum(i ** 2) + jnp.sum(v * 1.3)
+                    + jnp.sum(nh.color * 0.7) + jnp.sum(nh.length * 0.1))
+        return L
+
+    sharded = shard_map(
+        lambda gb, h: temporal_accumulate_local(
+            gb, h, H, W, params=params, impl="pallas_ad", interpret=True),
+        mesh=mesh, in_specs=(gb_specs, h_specs),
+        out_specs=(PLANES, PLANE, h_specs), check_vma=False)
+
+    args = (g.render, hist.color, g.motion)
+    ga = jax.grad(make_loss(lambda gb, h: temporal_accumulate(
+        gb, h, params=params)), argnums=(0, 1, 2))(*args)
+    gb = jax.grad(make_loss(sharded), argnums=(0, 1, 2))(*args)
+    for name, x, y in zip(["d_render", "d_hist_color", "d_motion"], ga, gb):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+        assert np.abs(np.asarray(x)).max() > 0, f"{name} trivially zero"

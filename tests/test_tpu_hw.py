@@ -247,3 +247,58 @@ def test_temporal_ad_kernel_compiled(rng):
     for name, x, y in zip(["d_hist_color", "d_motion"], ga, gb):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_sharded_temporal_ad_single_device_mesh(rng):
+    """Differentiable temporal kernel inside shard_map on a 1-device mesh,
+    compiled: forward + gradients match the single-device oracle (the
+    sharded training path's temporal route)."""
+    from jax.sharding import Mesh
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.gbuffer import GBuffer, History
+    from raymarchdenoisercuda_tpu.ops.temporal import temporal_accumulate
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_local, PLANE, PLANES)
+
+    H, W = 128, 256
+    color, _v, normal, depth = _scene(rng, H, W)
+    motion = jnp.asarray(
+        ((rng.random((2, H, W)) - 0.5) * 8).astype(np.float32))
+    g = GBuffer(render=color, albedo=jnp.full((3, H, W), 0.7), normal=normal,
+                depth=depth, motion=motion, denoised=None)
+    hist = History(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)),
+        moments=jnp.asarray(rng.random((2, H, W), dtype=np.float32)),
+        length=jnp.asarray((rng.random((H, W)) * 6).astype(np.float32)),
+        prev_depth=depth, prev_normal=normal)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=None)
+    h_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                      prev_depth=PLANE, prev_normal=PLANES)
+    sharded = shard_map(
+        lambda gb, h: temporal_accumulate_local(
+            gb, h, H, W, params=P, impl="pallas_ad"),
+        mesh=mesh, in_specs=(gb_specs, h_specs),
+        out_specs=(PLANES, PLANE, h_specs), check_vma=False)
+
+    a = temporal_accumulate(g, hist, params=P)
+    b = sharded(g, hist)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def L(hc, mot):
+            i, v, nh = fn(g.replace(motion=mot), hist.replace(color=hc))
+            return jnp.sum(i ** 2) + jnp.sum(v) + jnp.sum(nh.moments)
+        return L
+
+    ga = jax.grad(loss(lambda gb, h: temporal_accumulate(gb, h, params=P)),
+                  argnums=(0, 1))(hist.color, motion)
+    gb_ = jax.grad(loss(sharded), argnums=(0, 1))(hist.color, motion)
+    for name, x, y in zip(["d_hist_color", "d_motion"], ga, gb_):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
