@@ -1713,7 +1713,13 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     ``zgrad_cb``/``isd2_cb`` are center-blocked (…, H_pad, Wp) as in the
     per-level wrapper; ``isd2_cb=None`` derives the σ-denominator in-kernel
     from the variance canvas (the chained stored-backward default — removes
-    the per-level XLA blur pass)."""
+    the per-level XLA blur pass).
+
+    ``origin`` (sharded tile canvases): a traced (row0, col0) pair giving
+    the GLOBAL image coordinate of the canvas's first *center* row and
+    first *lane* — border masks then test global coordinates, so canvas
+    margins holding exchanged neighbor data contribute like in-image
+    pixels and only taps beyond the global border drop."""
     H, W = bounds
     CH, Wp = depthC.shape[-2:]
     H_pad = CH - 2 * margin
@@ -1724,12 +1730,13 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     save_w = save_w_dtype is not None
     fuse_isd = isd2_cb is None
     n_taps = (2 * params.radius + 1) ** 2
+    with_origin = origin is not None
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
                                 n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
                                 out_margin=margin, save_w=save_w,
                                 w_dtype=save_w_dtype,
                                 fast_weights=fast_weights,
-                                fuse_isd=fuse_isd)
+                                fuse_isd=fuse_isd, with_origin=with_origin)
     sds = jax.ShapeDtypeStruct
     n_out = 4 if save_w else 3
     out_shape = [sds((3, CH, Wp), jnp.float32),
@@ -1745,6 +1752,9 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     if not fuse_isd:
         in_specs.append(_center_spec(None, TH, Wp))
         args = args + (isd2_cb,)
+    if with_origin:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (jnp.stack([origin[0], origin[1]]).astype(jnp.int32),) + args
     return pl.pallas_call(
         kernel,
         grid=(grid,),

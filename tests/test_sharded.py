@@ -173,3 +173,34 @@ def test_sharded_train_step_ad_temporal_kernel(rng):
     albedo2, opt_state, hist, key, loss2 = step(albedo1, opt_state, hist, key)
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
     assert np.abs(np.asarray(albedo2) - np.asarray(albedo1)).max() > 0
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_sharded_chained_matches_per_level(rng, n_dev):
+    """Canvas-chained tile sweep == per-level tile kernels (same kernel math,
+    margins refreshed over ICI instead of per-level pad/crop/re-exchange),
+    including the feedback plane the temporal history consumes."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        svgf_spatial_local, PLANE, PLANES)
+
+    H = W = 64
+    color, variance, normal, depth = _scene(rng, H, W)
+    params = SVGFParams(iterations=3, feedback_level=1)
+    mesh = make_mesh(n_dev)
+
+    def run(impl):
+        fn = shard_map(
+            lambda c, v, n, d: svgf_spatial_local(
+                c, v, n, d, H, W, params=params, return_feedback=True,
+                impl=impl, interpret=True),
+            mesh=mesh, in_specs=(PLANES, PLANE, PLANES, PLANE),
+            out_specs=(PLANES, PLANE, PLANES), check_vma=False)
+        return fn(color, variance, normal, depth)
+
+    want = run("pallas_levels")
+    got = run("pallas")
+    for name, a, b in zip(["color", "variance", "feedback"], want, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6, err_msg=name)
