@@ -149,6 +149,7 @@ def svgf_spatial_local(
     Hg: int, Wg: int,
     *, params: SVGFParams, return_feedback: bool = False,
     impl: str = "oracle", interpret: bool = False,
+    weight_math: str = "exact",
 ):
     """Multi-level à-trous on local tiles (call inside shard_map).
 
@@ -167,7 +168,8 @@ def svgf_spatial_local(
         if hmax <= min(th, tw):
             return svgf_spatial_chained_local(
                 color, variance, normal, depth, Hg, Wg, params=params,
-                return_feedback=return_feedback, interpret=interpret)
+                return_feedback=return_feedback, interpret=interpret,
+                weight_math=weight_math)
         impl = "pallas_levels"
     ry, cx = tile_origin((th, tw))
     zgrad = _zgrad_local(depth, ry, cx, Hg, Wg)
@@ -454,11 +456,12 @@ def _refresh_margins(x, M: int, th: int, tw: int, w: int,
     return upd(upd(x, from_w, M - w, cdim), from_e, M + tw, cdim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def atrous_canvas_level_tile(cC, vC, normalC, depthC, zgrad_cb, isd2_cb,
                              sden_t, origin, level: int, params: SVGFParams,
                              geo: Tuple[int, int, int, int],
-                             bounds: Tuple[int, int], interpret: bool = False):
+                             bounds: Tuple[int, int], interpret: bool = False,
+                             fast_weights: bool = False):
     """One à-trous level, tile canvas in / tile canvas out (call inside
     shard_map).  ``geo = (M, th, tw, TH)``; ``origin`` the tile's global
     (row0, col0).  Margins must hold >= h-wide valid neighbor data
@@ -468,12 +471,13 @@ def atrous_canvas_level_tile(cC, vC, normalC, depthC, zgrad_cb, isd2_cb,
     transposes then route them over ICI."""
     out, _res = _canvas_level_fwd(cC, vC, normalC, depthC, zgrad_cb, isd2_cb,
                                   sden_t, origin, level, params, geo, bounds,
-                                  interpret)
+                                  interpret, fast_weights)
     return out
 
 
 def _canvas_level_fwd(cC, vC, normalC, depthC, zgrad_cb, isd2_cb, sden_t,
-                      origin, level, params, geo, bounds, interpret):
+                      origin, level, params, geo, bounds, interpret,
+                      fast_weights):
     from ..ops.pallas.atrous_tpu import atrous_level_fwd_canvas
 
     M, th, tw, TH = geo
@@ -481,12 +485,13 @@ def _canvas_level_fwd(cC, vC, normalC, depthC, zgrad_cb, isd2_cb, sden_t,
     cC2, vC2, nC = atrous_level_fwd_canvas(
         cC, vC, normalC, depthC, zgrad_cb, isd2_cb,
         level=level, params=params, TH=TH, margin=M, bounds=bounds,
-        interpret=interpret, origin=(ry, cx - M))
+        interpret=interpret, origin=(ry, cx - M), fast_weights=fast_weights)
     res = (cC, normalC, depthC, zgrad_cb, sden_t, nC, origin)
     return (cC2, vC2), res
 
 
-def _canvas_level_bwd(level, params, geo, bounds, interpret, res, g):
+def _canvas_level_bwd(level, params, geo, bounds, interpret, fast_weights,
+                      res, g):
     from ..ops.pallas.atrous_tpu import atrous_level_bwd_pallas
 
     cC, normalC, depthC, zgrad_cb, sden_t, nC, origin = res
@@ -527,11 +532,16 @@ def svgf_spatial_chained_local(
     Hg: int, Wg: int,
     *, params: SVGFParams, return_feedback: bool = False,
     interpret: bool = False, tile_rows: int = None,
+    weight_math: str = "exact",
 ):
     """Canvas-chained multi-level à-trous on local tiles (call inside
     shard_map): same results as ``svgf_spatial_local(impl="pallas")`` with
     the per-level pad/crop/re-exchange copies replaced by one M-margin
-    canvas build + h-wide ICI margin refreshes between levels."""
+    canvas build + h-wide ICI margin refreshes between levels.
+
+    ``weight_math="fast"`` (inference-grade, ~1.4e-4 weight rel err) applies
+    to the forward only; the recompute adjoint re-derives exact weights, so
+    gradients under "fast" carry the same small weight mismatch."""
     from ..ops.pallas.atrous_tpu import (_chain_margin, _chain_tiles,
                                          _round_up, _LOG2E)
 
@@ -571,7 +581,7 @@ def svgf_spatial_chained_local(
         isd2_cb = embed_cb(_LOG2E / jnp.maximum(sden, _EPS))
         cC, vC = atrous_canvas_level_tile(
             cC, vC, normalC, depthC, zgrad_cb, isd2_cb, sden, origin,
-            lvl, params, geo, bounds, interpret)
+            lvl, params, geo, bounds, interpret, weight_math == "fast")
         if lvl + 1 == params.feedback_level:
             feedback = cC[:, M:M + th, M:M + tw]
     c = cC[:, M:M + th, M:M + tw]
@@ -615,7 +625,7 @@ def pipeline_local(
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
     svgf_params: SVGFParams, spp: int = 1, demod: bool = True,
     impl: str = "oracle", temporal_impl: str = "auto",
-    interpret: bool = False,
+    interpret: bool = False, weight_math: str = "exact",
 ):
     """Per-device frame pipeline (call inside shard_map).
 
@@ -643,6 +653,7 @@ def pipeline_local(
     gbuf = render_gbuffer_window(
         scene, camera, prev_camera, key, ry, cx, th, tw,
         cam_cfg=cam_cfg, params=rm_params, spp=spp,
+        impl="pallas" if impl == "pallas" else "jnp", interpret=interpret,
     )
 
     work = gbuf.replace(render=demodulate(gbuf.render, gbuf.albedo)) if demod else gbuf
@@ -652,7 +663,7 @@ def pipeline_local(
     filtered, _v, feedback = svgf_spatial_local(
         integrated, variance, gbuf.normal, gbuf.depth, Hg, Wg,
         params=svgf_params, return_feedback=True, impl=impl,
-        interpret=interpret)
+        interpret=interpret, weight_math=weight_math)
     new_history = new_history.replace(color=feedback)
     denoised = remodulate(filtered, gbuf.albedo) if demod else filtered
     return gbuf.replace(denoised=denoised), new_history
@@ -663,7 +674,7 @@ def make_sharded_pipeline(
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
     svgf_params: SVGFParams, spp: int = 1,
     impl: str = "oracle", temporal_impl: str = "auto",
-    interpret: bool = False,
+    interpret: bool = False, weight_math: str = "exact",
 ):
     """Build a jitted sharded (render + denoise) frame function.
 
@@ -678,7 +689,8 @@ def make_sharded_pipeline(
     fn = functools.partial(
         pipeline_local, Hg=Hg, Wg=Wg, cam_cfg=cam_cfg,
         rm_params=rm_params, svgf_params=svgf_params, spp=spp,
-        impl=impl, temporal_impl=temporal_impl, interpret=interpret)
+        impl=impl, temporal_impl=temporal_impl, interpret=interpret,
+        weight_math=weight_math)
 
     sharded = shard_map(
         fn, mesh=mesh,

@@ -204,3 +204,34 @@ def test_sharded_chained_matches_per_level(rng, n_dev):
     for name, a, b in zip(["color", "variance", "feedback"], want, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=1e-6, err_msg=name)
+
+
+def test_sharded_pipeline_kernel_route_matches_oracle(rng):
+    """make_sharded_pipeline(impl="pallas") routes raymarch + temporal +
+    spatial through the TPU kernels (regression: the raymarch impl was once
+    silently dropped inside pipeline_local, leaving the 64-step jnp march
+    in the sharded frame — found by profiling, 29 -> 16 ms at 1080p)."""
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.gbuffer import History
+    from raymarchdenoisercuda_tpu.ops.raymarch import (cornell_scene,
+                                                       cornell_camera)
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        make_sharded_pipeline)
+
+    H = W = 32
+    mesh = make_mesh(4)
+    kw = dict(cam_cfg=CameraParams(width=W, height=H),
+              rm_params=RaymarchParams(max_steps=16, shadow_steps=8),
+              svgf_params=SVGFParams(iterations=2, max_motion=3))
+    f_o = make_sharded_pipeline(mesh, H, W, impl="oracle", **kw)
+    f_p = make_sharded_pipeline(mesh, H, W, impl="pallas", interpret=True,
+                                **kw)
+    scene, cam = cornell_scene(), cornell_camera()
+    key = jax.random.PRNGKey(0)
+    ho = hp = History.zeros(H, W)
+    for _ in range(2):   # frame 2 exercises reprojection through history
+        go, ho = f_o(scene, cam, cam, ho, key)
+        gp, hp = f_p(scene, cam, cam, hp, key)
+    do, dp = np.asarray(go.denoised), np.asarray(gp.denoised)
+    assert np.isfinite(dp).all()
+    assert np.abs(do - dp).max() < 2e-3

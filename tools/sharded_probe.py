@@ -37,11 +37,162 @@ def _scene(rng, H, W):
     return color, variance, jnp.asarray(n), depth
 
 
+def _mesh11():
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                ("data", "y", "x"))
+
+
+def probe_pipeline(H, W, iterations):
+    """Full frame pipeline (raymarch -> temporal -> SVGF), sharded 1x1 mesh
+    vs unsharded, one process."""
+    import jax.random as jr
+    from raymarchdenoisercuda_tpu.config import (CameraParams, RaymarchParams)
+    from raymarchdenoisercuda_tpu.gbuffer import History
+    from raymarchdenoisercuda_tpu.models.svgf import svgf_denoise_frame
+    from raymarchdenoisercuda_tpu.ops.raymarch import (cornell_scene,
+                                                       cornell_camera,
+                                                       render_gbuffer)
+    from raymarchdenoisercuda_tpu.parallel.sharded import make_sharded_pipeline
+
+    cam_cfg = CameraParams(width=W, height=H)
+    rm = RaymarchParams()
+    svgf = SVGFParams(iterations=iterations)
+    scene = cornell_scene()
+    cam = cornell_camera()
+
+    def make_unsharded(n):
+        @jax.jit
+        def f(key):
+            hist = History.zeros(H, W)
+
+            def body(i, carry):
+                hist, key, acc = carry
+                key, sub = jr.split(key)
+                g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
+                                   params=rm, impl="pallas")
+                out, hist = svgf_denoise_frame(g, hist, params=svgf,
+                                               impl="pallas",
+                                               weight_math="fast")
+                return (hist, key, acc + jnp.sum(out.denoised))
+
+            hist, _, acc = jax.lax.fori_loop(0, n, body,
+                                             (hist, key, jnp.float32(0.0)))
+            return jnp.sum(hist.color) + acc
+        return f
+
+    mesh = _mesh11()
+    frame = make_sharded_pipeline(mesh, H, W, cam_cfg=cam_cfg, rm_params=rm,
+                                  svgf_params=svgf, impl="pallas",
+                                  weight_math="fast")
+
+    def make_sharded(n):
+        @jax.jit
+        def f(key):
+            hist = History.zeros(H, W)
+
+            def body(i, carry):
+                hist, key, acc = carry
+                key, sub = jr.split(key)
+                g, hist = frame(scene, cam, cam, hist, sub)
+                return (hist, key, acc + jnp.sum(g.denoised))
+
+            hist, _, acc = jax.lax.fori_loop(0, n, body,
+                                             (hist, key, jnp.float32(0.0)))
+            return jnp.sum(hist.color) + acc
+        return f
+
+    mpix = H * W / 1e6
+    for name, mk in [("pipe_unsharded", make_unsharded),
+                     ("pipe_sharded", make_sharded)]:
+        dt = _chain_time(mk, jr.PRNGKey(0), n_lo=2, n_hi=8)
+        print(f"{name:18s} {dt * 1e3:7.2f} ms  {mpix / dt:8.1f} Mpix/s",
+              flush=True)
+
+
+def probe_train(H, W, iterations):
+    """Full train step (render -> ad-temporal -> SVGF -> material grads ->
+    adam), sharded 1x1 mesh vs unsharded, one process."""
+    import optax
+    import jax.random as jr
+    from raymarchdenoisercuda_tpu.config import (CameraParams, RaymarchParams)
+    from raymarchdenoisercuda_tpu.gbuffer import History
+    from raymarchdenoisercuda_tpu.models.pipeline import (make_train_step,
+                                                          init_train_state)
+    from raymarchdenoisercuda_tpu.ops.raymarch import (cornell_scene,
+                                                       cornell_camera)
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        make_sharded_train_step)
+
+    scene = cornell_scene()
+    cam = cornell_camera()
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    opt = optax.adam(1e-2)
+    cam_cfg = CameraParams(width=W, height=H)
+    rm = RaymarchParams()
+    svgf = SVGFParams(iterations=iterations)
+
+    step_u = make_train_step(scene, cam, target, opt, cam_cfg=cam_cfg,
+                             rm_params=rm, svgf_params=svgf, impl="pallas")
+    state0 = init_train_state(scene.materials.albedo, opt, H, W,
+                              jr.PRNGKey(0))
+
+    def make_unsharded(n):
+        @jax.jit
+        def f(state):
+            def body(i, carry):
+                state, acc = carry
+                state, loss = step_u(state)
+                return (state, acc + loss)
+            state, acc = jax.lax.fori_loop(0, n, body,
+                                           (state, jnp.float32(0.0)))
+            return jnp.sum(state.albedo) + acc
+        return f
+
+    mesh = _mesh11()
+    step_s = make_sharded_train_step(mesh, scene, cam, target, opt,
+                                     cam_cfg=cam_cfg, rm_params=rm,
+                                     svgf_params=svgf, impl="pallas")
+    albedo0 = scene.materials.albedo
+    opt0 = opt.init(albedo0)
+    hist0 = History.zeros(H, W)
+
+    def make_sharded(n):
+        @jax.jit
+        def f(key):
+            def body(i, carry):
+                albedo, opt_state, hist, key, acc = carry
+                albedo, opt_state, hist, key, loss = step_s(
+                    albedo, opt_state, hist, key)
+                return (albedo, opt_state, hist, key, acc + loss)
+            albedo, _, hist, _, acc = jax.lax.fori_loop(
+                0, n, body, (albedo0, opt0, hist0, key, jnp.float32(0.0)))
+            return jnp.sum(albedo) + jnp.sum(hist.color) + acc
+        return f
+
+    mpix = H * W / 1e6
+    for name, mk, x in [("train_unsharded", make_unsharded, state0),
+                        ("train_sharded", make_sharded, jr.PRNGKey(0))]:
+        dt = _chain_time(mk, x, n_lo=2, n_hi=6)
+        print(f"{name:18s} {dt * 1e3:7.2f} ms  {mpix / dt:8.1f} Mpix/s",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1080p")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mode", default="spatial",
+                    choices=["spatial", "pipeline", "train"])
     args = ap.parse_args()
+    if args.mode != "spatial":
+        H, W = (1080, 1920) if args.size == "1080p" else (512, 512)
+        if args.mode == "pipeline":
+            probe_pipeline(H, W, args.iters)
+        else:
+            probe_train(H, W, args.iters)
+        return
     H, W = (1080, 1920) if args.size == "1080p" else (512, 512)
     params = SVGFParams(iterations=args.iters)
     rng = np.random.default_rng(0)
