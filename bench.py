@@ -163,7 +163,9 @@ def bench_raymarch(H=1080, W=1920, repeats=5, impl=None):
                 key, acc = carry
                 key, sub = jax.random.split(key)
                 g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cfg,
-                                   params=rm, impl=impl)
+                                   params=rm, impl=impl,
+                                   normal_impl=("pallas" if impl == "pallas"
+                                                else "xla"))
                 # consume every emitted plane: single-pixel reads would let
                 # XLA slice the whole-image shading/normal/motion math down
                 # to a few pixels and overstate the number
@@ -214,7 +216,9 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
                 hist, key, acc = carry
                 key, sub = jax.random.split(key)
                 g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
-                                   params=rm, spp=spp, impl=rm_impl)
+                                   params=rm, spp=spp, impl=rm_impl,
+                                   normal_impl=("pallas" if rm_impl == "pallas"
+                                                else "xla"))
                 out, hist = svgf_denoise_frame(
                     g, hist, params=svgf, impl=impl, precision=precision,
                     weight_math=weight_math if impl == "pallas" else "exact")

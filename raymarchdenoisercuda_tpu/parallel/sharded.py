@@ -324,6 +324,11 @@ def temporal_accumulate_local(
     if impl == "pallas":
         from ..ops.pallas.temporal_tpu import temporal_accumulate_tile
 
+        # NOTE measured negative (round 3): packing all 19 planes into ONE
+        # stacked exchange costs an extra full 19-plane concat copy and is
+        # ~1.3 ms SLOWER at 1080p than per-plane exchanges (19.3 vs 18.0
+        # ms/frame) — XLA already fuses the per-plane pad copies into their
+        # consumers.  Keep per-plane exchanges.
         def ex(x):
             return exchange_halo2d(x, mh)
 
@@ -626,6 +631,7 @@ def pipeline_local(
     svgf_params: SVGFParams, spp: int = 1, demod: bool = True,
     impl: str = "oracle", temporal_impl: str = "auto",
     interpret: bool = False, weight_math: str = "exact",
+    normal_impl: str = "xla",
 ):
     """Per-device frame pipeline (call inside shard_map).
 
@@ -654,6 +660,7 @@ def pipeline_local(
         scene, camera, prev_camera, key, ry, cx, th, tw,
         cam_cfg=cam_cfg, params=rm_params, spp=spp,
         impl="pallas" if impl == "pallas" else "jnp", interpret=interpret,
+        normal_impl=normal_impl if impl == "pallas" else "xla",
     )
 
     work = gbuf.replace(render=demodulate(gbuf.render, gbuf.albedo)) if demod else gbuf
@@ -675,6 +682,7 @@ def make_sharded_pipeline(
     svgf_params: SVGFParams, spp: int = 1,
     impl: str = "oracle", temporal_impl: str = "auto",
     interpret: bool = False, weight_math: str = "exact",
+    normal_impl: str = "auto",
 ):
     """Build a jitted sharded (render + denoise) frame function.
 
@@ -690,7 +698,9 @@ def make_sharded_pipeline(
         pipeline_local, Hg=Hg, Wg=Wg, cam_cfg=cam_cfg,
         rm_params=rm_params, svgf_params=svgf_params, spp=spp,
         impl=impl, temporal_impl=temporal_impl, interpret=interpret,
-        weight_math=weight_math)
+        weight_math=weight_math,
+        normal_impl=("pallas" if (normal_impl == "auto" and impl == "pallas")
+                     else normal_impl if normal_impl != "auto" else "xla"))
 
     sharded = shard_map(
         fn, mesh=mesh,

@@ -327,3 +327,37 @@ def test_big_scene_kernel_parity_interpret():
         np.testing.assert_allclose(
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             atol=5e-5, err_msg=name)
+
+
+def test_march_kernel_normals_parity_interpret():
+    """raymarch_pallas_gbuf's in-kernel central-difference normals ==
+    sdf_normal + viewer flip (the XLA pass it replaces), and t/hit/mat
+    match the normal-free kernel."""
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.ops.raymarch import (
+        cornell_scene, cornell_camera, camera_rays, sdf_normal)
+    from raymarchdenoisercuda_tpu.ops.pallas.raymarch_tpu import (
+        raymarch_pallas_gbuf, raymarch_pallas_with_mat)
+
+    scene = cornell_scene()
+    cfg = CameraParams(width=64, height=48)
+    params = RaymarchParams(max_steps=48)
+    ro, rd, _ = camera_rays(cornell_camera(), cfg)
+
+    t0, hit0, mat0 = raymarch_pallas_with_mat(scene, ro, rd, params, True)
+    t1, hit1, mat1, n1 = raymarch_pallas_gbuf(scene, ro, rd, params, True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(hit0), np.asarray(hit1))
+    np.testing.assert_array_equal(np.asarray(mat0), np.asarray(mat1))
+
+    p = ro + t0[None] * rd
+    want = sdf_normal(scene, p, params.normal_eps)
+    want = jnp.where(jnp.sum(want * rd, axis=0, keepdims=True) > 0,
+                     -want, want)
+    # fp-association noise only: the in-kernel p and normalization round
+    # differently from XLA's; max observed 1.3e-4 on unit normals
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(want),
+                               rtol=5e-3, atol=5e-4)
+    # unit length everywhere (hit or not)
+    np.testing.assert_allclose(np.sum(np.asarray(n1) ** 2, 0), 1.0,
+                               atol=1e-4)
