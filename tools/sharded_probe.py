@@ -70,7 +70,8 @@ def probe_pipeline(H, W, iterations):
                 hist, key, acc = carry
                 key, sub = jr.split(key)
                 g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
-                                   params=rm, impl="pallas")
+                                   params=rm, impl="pallas",
+                                   normal_impl="pallas")
                 out, hist = svgf_denoise_frame(g, hist, params=svgf,
                                                impl="pallas",
                                                weight_math="fast")
