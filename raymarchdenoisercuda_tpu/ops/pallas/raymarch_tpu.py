@@ -325,6 +325,74 @@ def _cone_seed_coarse(scene, ro, rd, params: RaymarchParams, interpret=False):
     return t_c
 
 
+def _rays_at_pixels(camera, cfg, rows, cols):
+    """Normalized rays through (possibly fractional) GLOBAL pixel indices
+    ``rows`` (n,) x ``cols`` (m,) -> (3, n, m)."""
+    from ..raymarch import camera_basis, _normalize
+
+    fwd, right, up, half_w, half_h = camera_basis(camera, cfg)
+    ys = (0.5 - (rows + 0.5) / cfg.height) * 2 * half_h
+    xs = ((cols + 0.5) / cfg.width - 0.5) * 2 * half_w
+    dirs = (fwd[:, None, None] + up[:, None, None] * ys[None, :, None]
+            + right[:, None, None] * xs[None, None, :])
+    return _normalize(dirs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "th", "tw", "params",
+                                              "interpret"))
+def _cone_seed_coarse_analytic(scene, camera, cfg, row0, col0, th: int,
+                               tw: int, params: RaymarchParams,
+                               interpret=False):
+    """Analytic coarse cone grid for a pinhole-camera pixel window: block
+    CENTER rays are generated directly from the camera at coarse resolution
+    (no full-res ray planes, no blocked reshape reductions — the ~1.1 ms of
+    XLA glue that made the plane-based seed a wash in-pipeline, ROADMAP).
+
+    base = 0 exactly (one pinhole origin); the cone half-width delta is the
+    global max deviation of the blocks' corner-PIXEL rays from their center
+    ray — ray direction deviation grows monotonically with screen offset,
+    so the 4 corner pixels attain each block's max (validated against the
+    plane-based deviation in tests)."""
+    B = _SEED_BLOCK
+    Hc, Wc = -(-th // B), -(-tw // B)
+    c = (B - 1) / 2.0
+    rows = jnp.asarray(row0, jnp.float32) + jnp.arange(
+        Hc, dtype=jnp.float32) * B + c
+    cols = jnp.asarray(col0, jnp.float32) + jnp.arange(
+        Wc, dtype=jnp.float32) * B + c
+    rd_c = _rays_at_pixels(camera, cfg, rows, cols)
+    delta = jnp.float32(0.0)
+    for dy in (-c, c):
+        for dx in (-c, c):
+            rr = _rays_at_pixels(camera, cfg, rows + dy, cols + dx)
+            dev2 = jnp.sum((rr - rd_c) ** 2, axis=0)
+            delta = jnp.maximum(delta, jnp.sqrt(jnp.max(dev2)))
+    base = jnp.float32(0.0)
+    ro_c = jnp.broadcast_to(camera.position[:, None, None], rd_c.shape)
+
+    TW = min(_TW, _round_up(Wc, 128))
+    Wp = _round_up(Wc, TW)
+    TH = min(_TH, _round_up(Hc, 8))
+    H_pad = _round_up(Hc, TH)
+    grid = (H_pad // TH, Wp // TW)
+    kernel = _make_cone_kernel(Hc, Wc, TH, TW, params,
+                               scene.sphere_params.shape[0],
+                               scene.box_params.shape[0],
+                               scene.plane_params.shape[0])
+    roa = _pad2(ro_c, H_pad, Wp)
+    rda = _pad2(rd_c, H_pad, Wp)
+    sc = jnp.concatenate([flatten_scene(scene), delta[None], base[None]])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + _tile_specs(TH, TW, 6),
+        out_specs=_tile_specs(TH, TW, 1)[0],
+        out_shape=jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+        interpret=interpret,
+    )(sc, roa[0], roa[1], roa[2], rda[0], rda[1], rda[2])
+
+
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def _cone_seed(scene, ro, rd, params: RaymarchParams, interpret=False):
     """Full-res per-pixel seed plane (nearest-upsampled coarse cone stops).
@@ -440,8 +508,9 @@ def raymarch_pallas_with_mat(scene, ro, rd, params: RaymarchParams,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret",
-                                              "emit_normals"))
-def _march_call(scene, ro, rd, params, interpret=False, emit_normals=False):
+                                              "emit_normals", "cam_cfg"))
+def _march_call(scene, ro, rd, params, interpret=False, emit_normals=False,
+                camera=None, cam_cfg=None, win_origin=None):
     H, W = ro.shape[-2:]
     TW = min(_TW, _round_up(W, 128))
     Wp = _round_up(W, TW)
@@ -464,7 +533,14 @@ def _march_call(scene, ro, rd, params, interpret=False, emit_normals=False):
         # (any lower seed stays skip-free).  The whole seed side-channel is
         # one tiny SMEM grid — no full-res plane, no upsample, no pad.
         B = _SEED_BLOCK
-        t_c = _cone_seed_coarse(scene, ro, rd, params, interpret)
+        if camera is not None:
+            # analytic coarse rays straight from the camera (ro/rd MUST be
+            # this camera window's rays): kills the full-res deviation math
+            t_c = _cone_seed_coarse_analytic(
+                scene, camera, cam_cfg, win_origin[0], win_origin[1],
+                H, W, params, interpret)
+        else:
+            t_c = _cone_seed_coarse(scene, ro, rd, params, interpret)
         gy, gx = grid
         cy, cx = TH // B, TW // B
         t_c = t_c[:gy * cy, :gx * cx]   # cone pad cells are max_dist
@@ -490,7 +566,8 @@ def _march_call(scene, ro, rd, params, interpret=False, emit_normals=False):
 
 
 def raymarch_pallas_gbuf(scene, ro, rd, params: RaymarchParams,
-                         interpret: bool = False):
+                         interpret: bool = False, camera=None, cam_cfg=None,
+                         win_origin=None):
     """March + viewer-flipped central-difference normals in ONE kernel pass:
     returns ``(t, hit, mat, normal)`` with ``normal`` (3, H, W) — the
     in-kernel twin of ``sdf_normal`` + the render path's flip (which cost a
@@ -498,8 +575,15 @@ def raymarch_pallas_gbuf(scene, ro, rd, params: RaymarchParams,
     (differentiating raises), so training paths must keep
     ``normal_impl="xla"`` — geometry gradients flow through the XLA
     ``sdf_normal`` there.  (Intentionally no stop_gradient: a grad attempt
-    fails loudly at the pallas_call instead of silently dropping terms.)"""
-    return _march_call(scene, ro, rd, params, interpret, emit_normals=True)
+    fails loudly at the pallas_call instead of silently dropping terms.)
+
+    ``camera``/``cam_cfg``/``win_origin``: when given (and
+    ``params.coarse_seed``), the cone pre-march seed is generated
+    analytically from the camera at coarse resolution instead of from the
+    full-res ray planes — the caller asserts ``ro``/``rd`` are exactly that
+    camera window's rays."""
+    return _march_call(scene, ro, rd, params, interpret, emit_normals=True,
+                       camera=camera, cam_cfg=cam_cfg, win_origin=win_origin)
 
 
 def _march_fwd(scene, ro, rd, params, interpret):

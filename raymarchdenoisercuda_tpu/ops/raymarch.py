@@ -361,8 +361,9 @@ def render_gbuffer_window(
     if impl == "pallas":
         if normal_impl == "pallas":
             from .pallas.raymarch_tpu import raymarch_pallas_gbuf
-            t, hit, mat, n = raymarch_pallas_gbuf(scene, ro, rd, params,
-                                                  interpret)
+            t, hit, mat, n = raymarch_pallas_gbuf(
+                scene, ro, rd, params, interpret,
+                camera=camera, cam_cfg=cam_cfg, win_origin=(row0, col0))
         else:
             from .pallas.raymarch_tpu import raymarch_pallas_with_mat
             t, hit, mat = raymarch_pallas_with_mat(scene, ro, rd, params,

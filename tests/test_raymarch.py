@@ -361,3 +361,42 @@ def test_march_kernel_normals_parity_interpret():
     # unit length everywhere (hit or not)
     np.testing.assert_allclose(np.sum(np.asarray(n1) ** 2, 0), 1.0,
                                atol=1e-4)
+
+
+def test_cone_seed_analytic_conservative(scene):
+    """Analytic coarse cone seed (block-center rays straight from the
+    camera, corner-pixel delta, base=0 for the pinhole origin): still
+    skip-free, and at least as tight a delta bound as the plane-based
+    deviation math it replaces."""
+    from raymarchdenoisercuda_tpu.ops.raymarch import sdf_scene
+    from raymarchdenoisercuda_tpu.ops.pallas.raymarch_tpu import (
+        raymarch_pallas_gbuf, _cone_seed_coarse_analytic, _SEED_BLOCK)
+
+    cam = cornell_camera()
+    ro, rd, _ = camera_rays(cam, CFG)
+    p1 = RaymarchParams(max_steps=64, coarse_seed=True)
+    H, W = CFG.height, CFG.width
+    B = _SEED_BLOCK
+
+    t_c = np.asarray(_cone_seed_coarse_analytic(
+        scene, cam, CFG, 0, 0, H, W, p1, True))
+    Hc, Wc = -(-H // B), -(-W // B)
+    t_c = jnp.asarray(t_c[:Hc, :Wc])
+    # upsample to full res and check skip-free clearance at the seed points
+    seed = jnp.repeat(jnp.repeat(t_c, B, axis=0), B, axis=1)[:H, :W]
+    d_at, _ = sdf_scene(scene, ro + seed[None] * rd)
+    dn = np.asarray(d_at)
+    non_escaped = np.asarray(seed) < p1.max_dist
+    assert dn[non_escaped].min() >= 0.5 * p1.hit_eps, dn[non_escaped].min()
+
+    # seeded gbuf march (analytic path) agrees with the unseeded march
+    p0 = RaymarchParams(max_steps=64)
+    t0, h0, m0, n0 = raymarch_pallas_gbuf(scene, ro, rd, p0, True)
+    t1, h1, m1, n1 = raymarch_pallas_gbuf(scene, ro, rd, p1, True,
+                                          camera=cam, cam_cfg=CFG,
+                                          win_origin=(0, 0))
+    h0n, h1n = np.asarray(h0), np.asarray(h1)
+    assert (h0n == h1n).mean() > 0.998
+    both = h0n & h1n
+    dt = np.abs(np.asarray(t0) - np.asarray(t1))[both]
+    assert np.percentile(dt, 99) < 2 * p0.hit_eps, np.percentile(dt, 99)
