@@ -332,3 +332,25 @@ def test_sharded_chained_gradients_compiled(rng):
     a, b = np.asarray(g_ref), np.asarray(g_shard)
     scale = max(np.abs(a).max(), 1e-30)
     assert np.abs(a - b).max() / scale < 1e-3
+
+
+def test_march_normals_fused_compiled(rng):
+    """Fused march+normal kernel compiled on hardware: G-buffer with
+    normal_impl="pallas" matches the XLA sdf_normal path."""
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.ops.raymarch import (
+        cornell_scene, cornell_camera, render_gbuffer)
+
+    cfg = CameraParams(width=256, height=192)
+    rm = RaymarchParams(max_steps=48, shadow_steps=24)
+    scene, cam = cornell_scene(), cornell_camera()
+    key = jax.random.PRNGKey(0)
+    a = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm,
+                       impl="pallas", normal_impl="xla")
+    b = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm,
+                       impl="pallas", normal_impl="pallas")
+    np.testing.assert_allclose(np.asarray(a.normal), np.asarray(b.normal),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.render), np.asarray(b.render),
+                               atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
