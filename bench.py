@@ -72,14 +72,14 @@ def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=5):
 
 def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
                        precision="f32", bwd_impl="stored",
-                       weight_math="exact"):
+                       weight_math="exact", radius=2):
     """North-star config: SVGF fwd+bwd at 1080p, 5 levels."""
     import functools
     import jax
     import jax.numpy as jnp
     from raymarchdenoisercuda_tpu.config import SVGFParams
 
-    params = SVGFParams(iterations=iterations)
+    params = SVGFParams(iterations=iterations, radius=radius)
     color, variance, normal, depth = _scene_inputs(H, W)
 
     if impl == "pallas":

@@ -1650,7 +1650,8 @@ def _chain_margin(params: SVGFParams) -> int:
 
 def _chain_tiles(H: int, Wp: int, params: SVGFParams,
                  tile_rows: int = None,
-                 bwd_impl: str = "recompute") -> Tuple[int, int, int]:
+                 bwd_impl: str = "recompute",
+                 bwd_extra: int = 0) -> Tuple[int, int, int]:
     """(TH_fwd, TH_bwd, H_pad): one uniform fwd tile height across levels
     (sized for the deepest level's halo + the canvas out tiles), a bwd tile
     height dividing the same H_pad, and the shared center height.
@@ -1660,7 +1661,11 @@ def _chain_tiles(H: int, Wp: int, params: SVGFParams,
     divisor (1080 -> th_f 64 -> H_pad 1088 = 2^6·17 -> th_b 32, which
     doubles the deep levels' staged halo overdraw).  Score = total staged
     DMA rows over all levels fwd+bwd plus a small per-band constant (mask
-    and iota setup are per-band VPU costs)."""
+    and iota setup are per-band VPU costs).
+
+    ``bwd_extra``: the backward sweep's out region is H_pad + 2·bwd_extra
+    rows (the sharded margin-writing adjoint, which emits ±M gradient rows
+    for the ICI refresh transposes) — th_b must divide that instead."""
     M = _chain_margin(params)
     n_taps = (2 * params.radius + 1) ** 2
     w_planes = 0 if bwd_impl == "recompute" else (
@@ -1681,14 +1686,15 @@ def _chain_tiles(H: int, Wp: int, params: SVGFParams,
     best = None
     for tf in range(cap_f, 7, -8):
         H_pad = _round_up(H, tf)
+        H_bwd = H_pad + 2 * bwd_extra
         tb = None
-        for t in range(min(cap_b, H_pad), 7, -8):
-            if H_pad % t == 0:
+        for t in range(min(cap_b, H_bwd), 7, -8):
+            if H_bwd % t == 0:
                 tb = t
                 break
         if tb is None:
             continue
-        gf, gb = H_pad // tf, H_pad // tb
+        gf, gb = H_pad // tf, H_bwd // tb
         cost = sum(gf * (tf + 2 * h + 8) + gb * (tb + 2 * h + 8)
                    for h in halos)
         if best is None or cost < best[0]:
@@ -1814,30 +1820,42 @@ def atrous_level_bwd_canvas(lumC, normalC, depthC, isd2C, zgradC, uC, u2C,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "level", "params", "TH", "margin", "bounds", "interpret"))
+    "level", "params", "TH", "margin", "bounds", "interpret", "out_halo"))
 def atrous_level_bwd_stored_canvas(wC, normC, gcC, gvC,
                                    *, level: int, params: SVGFParams, TH: int,
                                    margin: int, bounds: Tuple[int, int],
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   out_halo: int = 0):
     """Stored-weight detached adjoint, canvas in / canvas out.
 
     Consumes the forward's (n_taps, CH, Wp) weight canvas instead of
     re-deriving the edge-stopping math: 25 shifted FMAs (DMA-bound) versus
     the recompute kernel's ~50-op/tap VPU chain (ALU-bound).  ``u = g/N``
     and ``u2 = g_v/N²`` are derived in-kernel on the haloed band, removing
-    the per-level XLA elementwise passes.  Returns (dcolC, dvarC)."""
+    the per-level XLA elementwise passes.  Returns (dcolC, dvarC).
+
+    ``out_halo`` expands the written out region by that many rows on both
+    sides of the center band (the sharded margin-writing adjoint: gradients
+    for exchanged halo rows land in the canvas margins, where the ICI
+    refresh transposes route them to the owning neighbors).  Stored weights
+    are zero outside the center region, so the extra rows receive exactly
+    the contributions of real in-tile centers within tap reach — requires
+    ``margin >= out_halo + halo_pad`` so staging offsets stay non-negative,
+    and ``TH | (H_pad + 2·out_halo)``."""
     H, W = bounds
     CH, Wp = normC.shape[-2:]
-    H_pad = CH - 2 * margin
+    H_pad = CH - 2 * margin + 2 * out_halo
     spacing = 1 << level
     halo_pad = _round_up(params.radius * spacing, 8)
+    assert margin >= out_halo + halo_pad, (margin, out_halo, halo_pad)
     grid = H_pad // TH
     BLK = TH + 2 * halo_pad
     n_taps = (2 * params.radius + 1) ** 2
     w_dtype = wC.dtype
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "stored",
-                                n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
-                                out_margin=margin, w_dtype=w_dtype)
+                                n_hbm=4, Wp=Wp,
+                                row_base=margin - out_halo - halo_pad,
+                                out_margin=margin - out_halo, w_dtype=w_dtype)
     sds = jax.ShapeDtypeStruct
     return pl.pallas_call(
         kernel,
@@ -1853,7 +1871,7 @@ def atrous_level_bwd_stored_canvas(wC, normC, gcC, gvC,
         + [pltpu.SemaphoreType.DMA((2, 4))]
         + [pltpu.VMEM((2, 3, TH, Wp), jnp.float32),
            pltpu.VMEM((2, TH, Wp), jnp.float32),
-           pltpu.VMEM((3, margin, Wp), jnp.float32)]
+           pltpu.VMEM((3, margin - out_halo, Wp), jnp.float32)]
         + [pltpu.SemaphoreType.DMA((2, 2)), pltpu.SemaphoreType.DMA((2, 2))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,

@@ -62,8 +62,12 @@ def ssim(a, b, peak=1.0, win=7):
 
 
 def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
-             iterations=5):
-    """Returns the metric dict (shared with tests/test_quality.py)."""
+             iterations=5, radius=2, weight_math="exact"):
+    """Returns the metric dict (shared with tests/test_quality.py).
+
+    ``radius``/``iterations``/``weight_math`` parametrize the spatial filter
+    so cheaper-filter variants (VERDICT r3 next-step #2) are quality-gated
+    against the same converged render as the baseline."""
     from raymarchdenoisercuda_tpu.config import (CameraParams, RaymarchParams,
                                                  SVGFParams)
     from raymarchdenoisercuda_tpu.gbuffer import History
@@ -74,7 +78,7 @@ def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
 
     cam_cfg = CameraParams(width=size, height=size)
     rm = RaymarchParams()
-    sv = SVGFParams(iterations=iterations)
+    sv = SVGFParams(iterations=iterations, radius=radius)
     scene = cornell_scene()
     if impl is None:
         impl = ("pallas" if jax.devices()[0].platform in ("tpu", "axon")
@@ -92,7 +96,9 @@ def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
                            params=rm, spp=1, impl=rm_impl)
         ref = render_gbuffer(scene, cam, None, k_ref, cam_cfg=cam_cfg,
                              params=rm, spp=spp_ref, impl=rm_impl)
-        out, hist = svgf_denoise_frame(g, hist, params=sv, impl=impl)
+        out, hist = svgf_denoise_frame(
+            g, hist, params=sv, impl=impl,
+            weight_math=weight_math if impl == "pallas" else "exact")
         tgt = np.clip(np.asarray(ref.render), 0, 1)
         noisy = np.clip(np.asarray(g.render), 0, 1)
         den = np.clip(np.asarray(out.denoised), 0, 1)
@@ -120,11 +126,14 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--spp-ref", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--radius", type=int, default=2)
+    ap.add_argument("--wmath", default="exact", choices=["exact", "fast"])
     ap.add_argument("--impl", default=None, choices=[None, "pallas", "reference"])
     args = ap.parse_args()
     print(json.dumps(run_eval(size=args.size, frames=args.frames,
                               spp_ref=args.spp_ref, impl=args.impl,
-                              iterations=args.iters)))
+                              iterations=args.iters, radius=args.radius,
+                              weight_math=args.wmath)))
 
 
 if __name__ == "__main__":
