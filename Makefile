@@ -1,7 +1,8 @@
 # Build / test / bench entry points (reference Makefile:61-88 parity).
 #
 #   make native    - build the C++ host runtime (librdt_native.so)
-#   make test      - hermetic suite on a local 8-device CPU mesh
+#   make test      - full hermetic suite on a local 8-device CPU mesh
+#   make test_fast - fast tier (excludes @pytest.mark.slow; < 5 min)
 #   make test_tpu  - compiled-kernel parity on the real chip
 #   make bench     - north-star benchmark (one JSON line)
 #   make run_no_args / make help - CLI usage (reference run_no_args)
@@ -11,7 +12,7 @@
 
 PY ?= python3
 
-.PHONY: all native test test_tpu bench run_no_args help memcheck docs clean
+.PHONY: all native test test_fast test_tpu bench run_no_args help memcheck docs clean
 
 all: native test
 
@@ -20,6 +21,12 @@ native:
 
 test:
 	$(PY) -m pytest tests/ -q --ignore=tests/test_tpu_hw.py
+
+# quick iteration signal: skips the long interpret-mode sweeps and sequence
+# tests (marked @pytest.mark.slow) while keeping one representative of every
+# kernel/parity family; `make test` remains the full pre-commit gate
+test_fast:
+	$(PY) -m pytest tests/ -q --ignore=tests/test_tpu_hw.py -m "not slow"
 
 test_tpu:
 	RDT_TEST_PLATFORM=tpu $(PY) -m pytest tests/test_tpu_hw.py -q

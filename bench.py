@@ -379,25 +379,46 @@ def main():
     ap.add_argument("--wmath", default="fast", choices=["exact", "fast"],
                     help="tap-weight math (fast: one deg-3 exp per tap, "
                          "~1.4e-4 weight rel err; fwd_bwd config)")
+    # radius=1 (3-tap binomial kernel, 5 iterations) is the round-4
+    # quality-validated cheap mode: −0.11 dB PSNR / −0.0008 SSIM vs the
+    # radius-2 B3 kernel against a 1024-spp converged render at 256²
+    # (tools/denoise_quality.py), at 2.06× the throughput
+    # (tools/variant_probe.py).  The metric name carries an "r1" tag; both
+    # classic radius-2 modes ride along in the JSON line.
+    ap.add_argument("--radius", type=int, default=1, choices=[1, 2],
+                    help="à-trous tap radius (fwd_bwd config; r1 is the "
+                         "quality-validated headline mode, r2 the classic "
+                         "SVGF 5×5 B3 kernel)")
     args = ap.parse_args()
 
     extra = {}
     if args.config == "fwd_bwd_1080p":
-        # Measure BOTH weight-math modes in one process (same chip epoch, so
-        # the pair is apples-to-apples; see _chain_time note).  Headline stays
-        # the --wmath mode; the other mode rides along in the JSON line.
-        other = "exact" if args.wmath == "fast" else "fast"
+        # Measure the ride-along modes in the SAME process (same chip epoch,
+        # so the set is apples-to-apples; see _chain_time note).  Headline is
+        # the --radius/--wmath mode; the others ride along in the JSON line.
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats,
                                        precision=args.precision,
                                        bwd_impl=args.bwd,
-                                       weight_math=args.wmath)
-        value_o, _ = bench_svgf_fwd_bwd(repeats=args.repeats,
-                                        precision=args.precision,
-                                        bwd_impl=args.bwd,
-                                        weight_math=other)
-        extra[f"{other}_mpix_s"] = round(value_o, 2)
+                                       weight_math=args.wmath,
+                                       radius=args.radius)
+        if args.radius == 1:
+            for tag, r, wm_ in (("r2_fast", 2, "fast"), ("r2_exact", 2,
+                                                         "exact")):
+                v_o, _ = bench_svgf_fwd_bwd(repeats=args.repeats,
+                                            precision=args.precision,
+                                            bwd_impl=args.bwd,
+                                            weight_math=wm_, radius=r)
+                extra[f"{tag}_mpix_s"] = round(v_o, 2)
+        else:
+            other = "exact" if args.wmath == "fast" else "fast"
+            value_o, _ = bench_svgf_fwd_bwd(repeats=args.repeats,
+                                            precision=args.precision,
+                                            bwd_impl=args.bwd,
+                                            weight_math=other, radius=2)
+            extra[f"{other}_mpix_s"] = round(value_o, 2)
         wm = "" if args.wmath == "exact" else " fastw"
-        metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision}{wm})"
+        rtag = "" if args.radius == 2 else f" r{args.radius}"
+        metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision}{wm}{rtag})"
     elif args.config == "fwd_1080p":
         value, dt = bench_svgf_fwd(repeats=args.repeats,
                                    precision=args.precision)

@@ -23,7 +23,8 @@ from .svgf import svgf_denoise_frame
 
 @functools.partial(jax.jit, static_argnames=("cam_cfg", "rm_params",
                                               "svgf_params", "impl", "spp",
-                                              "precision", "temporal"))
+                                              "precision", "temporal",
+                                              "normal_impl"))
 def render_and_denoise(
     scene: Scene,
     camera: Camera,
@@ -38,16 +39,22 @@ def render_and_denoise(
     spp: int = 1,
     precision: str = "f32",
     temporal: str = "auto",
+    normal_impl: str = "auto",
 ) -> Tuple[GBuffer, History]:
     """One frame of the full pipeline (render + denoise), differentiable.
 
     ``impl="pallas"`` selects the TPU kernels for BOTH stages (banded
     early-exit march/shadow kernels + Pallas SVGF); ``precision="bf16"``
-    additionally stages the SVGF planes in bfloat16."""
+    additionally stages the SVGF planes in bfloat16.  ``normal_impl="auto"``
+    folds the G-buffer normal into the march kernel's epilogue on the
+    pallas path — differentiable since round 4 (the fused VJP recomputes
+    the normal chain in the backward only)."""
     rm_impl = "pallas" if impl == "pallas" else "jnp"
+    if normal_impl == "auto":
+        normal_impl = "pallas" if rm_impl == "pallas" else "xla"
     gbuf = render_gbuffer(scene, camera, prev_camera, key,
                           cam_cfg=cam_cfg, params=rm_params, spp=spp,
-                          impl=rm_impl)
+                          impl=rm_impl, normal_impl=normal_impl)
     return svgf_denoise_frame(gbuf, history, params=svgf_params, impl=impl,
                               precision=precision, temporal=temporal)
 

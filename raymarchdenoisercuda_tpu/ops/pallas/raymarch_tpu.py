@@ -571,19 +571,76 @@ def raymarch_pallas_gbuf(scene, ro, rd, params: RaymarchParams,
     """March + viewer-flipped central-difference normals in ONE kernel pass:
     returns ``(t, hit, mat, normal)`` with ``normal`` (3, H, W) — the
     in-kernel twin of ``sdf_normal`` + the render path's flip (which cost a
-    separate 1.85 ms XLA pass at 1080p).  INFERENCE ONLY: no VJP is defined
-    (differentiating raises), so training paths must keep
-    ``normal_impl="xla"`` — geometry gradients flow through the XLA
-    ``sdf_normal`` there.  (Intentionally no stop_gradient: a grad attempt
-    fails loudly at the pallas_call instead of silently dropping terms.)
+    separate 1.85 ms XLA pass at 1080p).
+
+    DIFFERENTIABLE (round 4, VERDICT r3 next-step #4): the un-seeded path
+    carries a custom VJP — the forward runs the fused kernel only; the
+    backward recomputes the normal chain in XLA (``sdf_normal`` + flip,
+    exactly the math the kernel epilogue mirrors), routes its hit-point
+    cotangent into the implicit-function march adjoint, and sums the scene
+    contributions.  So training saves the kernel-side 1.85 ms XLA normal
+    pass in the forward and pays the same backward it always did.
 
     ``camera``/``cam_cfg``/``win_origin``: when given (and
     ``params.coarse_seed``), the cone pre-march seed is generated
     analytically from the camera at coarse resolution instead of from the
     full-res ray planes — the caller asserts ``ro``/``rd`` are exactly that
-    camera window's rays."""
+    camera window's rays.  The seeded variant stays inference-only (the
+    seed side-channel is not differentiated; a grad attempt fails loudly)."""
+    if not params.coarse_seed:
+        # camera only feeds the cone seed; without seeding this is the
+        # differentiable fused path
+        return _gbuf_fused(scene, ro, rd, params, interpret)
     return _march_call(scene, ro, rd, params, interpret, emit_normals=True,
                        camera=camera, cam_cfg=cam_cfg, win_origin=win_origin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gbuf_fused(scene, ro, rd, params: RaymarchParams,
+                interpret: bool = False):
+    return _march_call(scene, ro, rd, params, interpret, emit_normals=True)
+
+
+def _gbuf_fused_fwd(scene, ro, rd, params, interpret):
+    out = _march_call(scene, ro, rd, params, interpret, emit_normals=True)
+    t, hit, _mat, _n = out
+    return out, (scene, ro, rd, t, hit)
+
+
+def _gbuf_fused_bwd(params, interpret, res, cot):
+    """Adjoint of (t, normal) w.r.t. (scene, ro, rd): mirrors XLA autodiff
+    of the unfused path ``t = raymarch(...); p = ro + t·rd;
+    n = flip(sdf_normal(scene, p))`` — the normal chain (6 SDF evals) is
+    recomputed here in XLA, its ∂p cotangent is folded into the march's
+    implicit-function adjoint via ∂t = Σ ∂p·rd."""
+    from ..raymarch import _raymarch_bwd, sdf_normal
+    scene, ro, rd, t, hit = res
+    g_t, _g_hit, _g_mat, g_n = cot
+
+    p = ro + t[None] * rd
+
+    def normal_fn(sc, pp):
+        n = sdf_normal(sc, pp, params.normal_eps)
+        return jnp.where(jnp.sum(n * rd, axis=0, keepdims=True) > 0, -n, n)
+
+    _, vjp_n = jax.vjp(normal_fn, scene, p)
+    d_scene_n, d_p = vjp_n(g_n)
+
+    g_t_total = g_t + jnp.sum(d_p * rd, axis=0)
+    d_scene_t, d_ro, d_rd = _raymarch_bwd(
+        params, (scene, ro, rd, t, hit), (g_t_total, None))
+
+    def add_cot(a, b):
+        # integer scene leaves (material ids) carry float0 cotangents
+        if jax.dtypes.result_type(a) == jax.dtypes.float0:
+            return a
+        return a + b
+
+    d_scene = jax.tree.map(add_cot, d_scene_t, d_scene_n)
+    return d_scene, d_ro + d_p, d_rd + t[None] * d_p
+
+
+_gbuf_fused.defvjp(_gbuf_fused_fwd, _gbuf_fused_bwd)
 
 
 def _march_fwd(scene, ro, rd, params, interpret):

@@ -352,9 +352,10 @@ def render_gbuffer_window(
 
     ``normal_impl="pallas"`` (requires ``impl="pallas"``) folds the
     central-difference normal into the march kernel's epilogue — removes a
-    1.85 ms XLA pass at 1080p.  INFERENCE ONLY: the fused march+normal call
-    has no VJP, so training keeps the default ``"xla"`` (geometry gradients
-    flow through ``sdf_normal``'s autodiff).
+    1.85 ms XLA pass at 1080p.  Differentiable since round 4 (un-seeded
+    path): the fused VJP recomputes the normal chain in XLA during the
+    backward only, so training also saves the forward pass (the seeded
+    cone variant stays inference-only).
     """
     ro, rd, _basis = camera_rays_window(camera, cam_cfg, row0, col0, th, tw)
     n = None

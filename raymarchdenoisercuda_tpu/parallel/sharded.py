@@ -850,7 +850,10 @@ def make_sharded_train_step(
             target.shape[-2], target.shape[-1],
             cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params,
             impl=impl, temporal_impl=temporal_impl, interpret=interpret,
-            spatial_bwd_impl=spatial_bwd_impl)
+            spatial_bwd_impl=spatial_bwd_impl,
+            # the fused march+normal kernel is differentiable (round 4):
+            # training also saves the XLA sdf_normal forward pass
+            normal_impl="pallas" if impl == "pallas" else "xla")
         # mean over the full image = psum of tile sums / global pixel count
         sse = jnp.sum((out.denoised - target_tile) ** 2)
         loss = lax.psum(lax.psum(sse, "y"), "x") / (3 * target.shape[-2] * target.shape[-1])

@@ -116,6 +116,44 @@ def test_vjp_multilevel_parity(rng):
     np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w), rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("wmath,ftol", [("exact", 5e-5), ("fast", 4e-4)])
+def test_radius1_mode_parity(rng, wmath, ftol):
+    """radius=1 × 5 iterations — the quality-validated cheap headline mode
+    (−0.11 dB PSNR vs radius-2 at 256²/1024-spp ground truth, 2.06×
+    throughput; tools/denoise_quality.py + tools/variant_probe.py) — must
+    match the jnp oracle at the same radius: forward at weight-math
+    tolerance, gradients through the stored-bf16 adjoint at quantization
+    tolerance."""
+    color, variance, normal, depth = _scene(rng)
+    params = SVGFParams(iterations=5, radius=1)
+    want_c, want_v = svgf_spatial_ref(
+        color, variance, normal, depth, params=params, detach_weights=True)
+    got_c, got_v = svgf_spatial_pallas(
+        color, variance, normal, depth, params=params, interpret=True,
+        weight_math=wmath)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=ftol, atol=ftol * 0.2)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=ftol, atol=ftol * 0.02)
+
+    def loss_oracle(c):
+        oc, _ = svgf_spatial_ref(c, variance, normal, depth, params=params,
+                                 detach_weights=True)
+        return jnp.sum(oc ** 2)
+
+    def loss_pallas(c):
+        oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params,
+                                    interpret=True, weight_math=wmath)
+        return jnp.sum(oc ** 2)
+
+    g_w = jax.grad(loss_oracle)(color)
+    g_g = jax.grad(loss_pallas)(color)
+    scale = float(jnp.abs(g_w).max())
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                               rtol=0, atol=2e-3 * scale)
+
+
+@pytest.mark.slow
 def test_bf16_mode_quality_and_gradients():
     """bf16 kernel mode (staged planes + tap math in bfloat16, f32
     accumulators, exp-form normal weight): output within ~2% of the f32
@@ -150,6 +188,7 @@ def test_bf16_mode_quality_and_gradients():
     assert cos > 0.995, f"bf16 gradient cosine {cos:.5f}"
 
 
+@pytest.mark.slow
 def test_weight_grads_full_adjoint_matches_oracle(rng):
     """detach_weights=False semantics on the Pallas path (VERDICT round-1
     missing #1): gradients flow through the edge-stopping weights into ALL
@@ -190,6 +229,7 @@ def test_weight_grads_full_adjoint_matches_oracle(rng):
         assert err < rtol, f"{name}: rel err {err:.2e} > {rtol}"
 
 
+@pytest.mark.slow
 def test_weight_grads_differ_from_detached(rng):
     """The weight-gradient term must actually change the gradients (guards
     against the wgrad path silently reusing the detached adjoint)."""
@@ -206,6 +246,7 @@ def test_weight_grads_differ_from_detached(rng):
     assert np.abs(np.asarray(g_det) - np.asarray(g_full)).max() > 1e-5
 
 
+@pytest.mark.slow
 def test_chained_sweep_bit_exact_vs_per_level(rng):
     """Canvas-chained sweep (pad-once, canvas in/out DMA) must be
     bit-identical to the per-level wrapper path — the canvases hold exactly
@@ -247,6 +288,7 @@ def test_chained_sweep_bit_exact_vs_per_level(rng):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bwd_impl,rtol", [("stored_f32", 2e-4),
                                            ("stored", 3e-3)])
 def test_chained_stored_bwd_matches_recompute(rng, bwd_impl, rtol):
@@ -278,6 +320,7 @@ def test_chained_stored_bwd_matches_recompute(rng, bwd_impl, rtol):
                                    np.asarray(b) / scale, atol=rtol)
 
 
+@pytest.mark.slow
 def test_fast_weight_math_close_to_exact(rng):
     """weight_math="fast" (one deg-3 exp2 per tap, normal weight folded into
     the exp argument) must stay within ~1e-4 relative of the exact-weights

@@ -363,6 +363,45 @@ def test_march_kernel_normals_parity_interpret():
                                atol=1e-4)
 
 
+def test_march_kernel_fused_normal_gradients():
+    """The fused march+normal VJP (round 4) matches the unfused path's
+    gradients: t from raymarch_pallas_with_mat + XLA sdf_normal autodiff vs
+    the fused kernel + hand-assembled adjoint, w.r.t. scene geometry and
+    rays (VERDICT r3 next-step #4)."""
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.ops.raymarch import (
+        cornell_scene, cornell_camera, camera_rays, sdf_normal)
+    from raymarchdenoisercuda_tpu.ops.pallas.raymarch_tpu import (
+        raymarch_pallas_gbuf, raymarch_pallas_with_mat)
+
+    scene = cornell_scene()
+    cfg = CameraParams(width=64, height=48)
+    params = RaymarchParams(max_steps=48)
+    ro, rd, _ = camera_rays(cornell_camera(), cfg)
+    w_t = jnp.linspace(0.5, 1.5, 48 * 64).reshape(48, 64)
+    w_n = jnp.linspace(-1.0, 1.0, 3 * 48 * 64).reshape(3, 48, 64)
+
+    def loss_unfused(sph, rdv):
+        sc = scene.replace(sphere_params=sph)
+        t, hit, _m = raymarch_pallas_with_mat(sc, ro, rdv, params, True)
+        p = ro + t[None] * rdv
+        n = sdf_normal(sc, p, params.normal_eps)
+        n = jnp.where(jnp.sum(n * rdv, axis=0, keepdims=True) > 0, -n, n)
+        return jnp.sum(w_t * t) + jnp.sum(w_n * n)
+
+    def loss_fused(sph, rdv):
+        sc = scene.replace(sphere_params=sph)
+        t, hit, _m, n = raymarch_pallas_gbuf(sc, ro, rdv, params, True)
+        return jnp.sum(w_t * t) + jnp.sum(w_n * n)
+
+    g_u = jax.grad(loss_unfused, argnums=(0, 1))(scene.sphere_params, rd)
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(scene.sphere_params, rd)
+    for name, a, b in zip(["d_sphere_params", "d_rd"], g_u, g_f):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=2e-3 * scale, err_msg=name)
+
+
 def test_cone_seed_analytic_conservative(scene):
     """Analytic coarse cone seed (block-center rays straight from the
     camera, corner-pixel delta, base=0 for the pinhole origin): still

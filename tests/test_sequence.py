@@ -34,6 +34,7 @@ def clean_ref():
     return np.asarray(render16(jax.random.split(jax.random.PRNGKey(99), 16)))
 
 
+@pytest.mark.slow
 def test_static_sequence_temporal_convergence(clean_ref):
     """8 static frames: temporally accumulated denoised output must approach
     the 16-spp reference much closer than a single denoised frame."""

@@ -194,6 +194,7 @@ def test_sharded_pallas_gradients_match_oracle(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev,iters", [(4, 2), (8, 3)])
 def test_sharded_stored_bwd_matches_oracle(rng, n_dev, iters):
     """Margin-writing stored-weight canvas adjoint (VERDICT r3 next-step #1):
@@ -244,6 +245,7 @@ def test_sharded_stored_bwd_matches_oracle(rng, n_dev, iters):
                                    rtol=0, atol=1.5e-3 * scale, err_msg=name)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_ad_temporal_kernel(rng):
     """make_sharded_train_step(temporal_impl="pallas_ad"): one optimizer step
     through raymarch -> differentiable temporal kernel -> SVGF inside
@@ -281,6 +283,7 @@ def test_sharded_train_step_ad_temporal_kernel(rng):
     assert np.abs(np.asarray(albedo2) - np.asarray(albedo1)).max() > 0
 
 
+@pytest.mark.slow
 def test_sharded_train_step_full_kernel_path(rng):
     """make_sharded_train_step(impl="pallas"): the complete kernel training
     route — Pallas raymarch, differentiable temporal kernel, chained spatial
@@ -321,6 +324,7 @@ def test_sharded_train_step_full_kernel_path(rng):
     assert abs(loss_k - loss_o) < 5e-4 * max(abs(loss_o), 1e-6), (loss_k, loss_o)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [4, 8])
 def test_sharded_chained_matches_per_level(rng, n_dev):
     """Canvas-chained tile sweep == per-level tile kernels (same kernel math,
@@ -352,6 +356,7 @@ def test_sharded_chained_matches_per_level(rng, n_dev):
                                    rtol=2e-5, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_kernel_route_matches_oracle(rng):
     """make_sharded_pipeline(impl="pallas") routes raymarch + temporal +
     spatial through the TPU kernels (regression: the raymarch impl was once

@@ -54,6 +54,7 @@ def test_single_frame_denoise_reduces_noise(rng):
     assert float(np.asarray(hist.length).min()) == 1.0
 
 
+@pytest.mark.slow
 def test_temporal_accumulation_converges(rng):
     """A static noisy sequence must converge toward the clean mean."""
     params = SVGFParams(iterations=2, temporal_alpha=0.1)
@@ -67,6 +68,7 @@ def test_temporal_accumulation_converges(rng):
     assert err_last <= err_first + 0.02
 
 
+@pytest.mark.slow
 def test_cornell_end_to_end(cornell_frame):
     out, hist = svgf_denoise_frame(
         cornell_frame, History.zeros(*cornell_frame.shape), params=SMALL

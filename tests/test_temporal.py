@@ -104,6 +104,7 @@ def test_spatial_moments_constant():
     np.testing.assert_allclose(np.asarray(m2), 0.09, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_sharded_temporal_matches_single(rng):
     from jax.sharding import PartitionSpec as Pspec
@@ -140,6 +141,7 @@ def test_sharded_temporal_matches_single(rng):
     np.testing.assert_allclose(np.asarray(got_h.length), np.asarray(want_h.length))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 @pytest.mark.parametrize("mag", [5.0, 5.5, 6.0, 6.5, 7.0, 8.0])
 def test_sharded_temporal_boundary_motion_parity(rng, mag):
@@ -318,6 +320,7 @@ def test_temporal_ad_forward_parity_interpret(rng):
     np.testing.assert_array_equal(np.asarray(a[2].length), np.asarray(b[2].length))
 
 
+@pytest.mark.slow
 def test_temporal_ad_gradient_parity_interpret(rng):
     """jax.grad through the ad kernel == oracle autodiff for every
     differentiable input (render, history color/moments/length, motion) —
@@ -352,6 +355,7 @@ def test_temporal_ad_gradient_parity_interpret(rng):
         assert np.abs(np.asarray(x)).max() > 0, f"{name} trivially zero"
 
 
+@pytest.mark.slow
 def test_train_step_pallas_temporal_ad(rng):
     """make_train_step(impl='pallas') now differentiates through the
     temporal kernel (BASELINE config 4 on the full kernel path): loss is
@@ -392,6 +396,7 @@ def test_train_step_pallas_temporal_ad(rng):
     assert np.abs(gn[:3]).max() > 0
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_sharded_temporal_ad_forward_parity(rng):
     """impl="pallas_ad" inside shard_map: the differentiable tent-gather
@@ -432,6 +437,7 @@ def test_sharded_temporal_ad_forward_parity(rng):
                                np.asarray(want_h.length))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_sharded_temporal_ad_gradient_parity(rng):
     """jax.grad through shard_map + the tent-gather custom VJP == oracle

@@ -180,17 +180,90 @@ def probe_train(H, W, iterations):
               flush=True)
 
 
+def probe_temporal(H, W):
+    """Differentiable temporal step (pallas_ad) fwd+bwd: sharded 1x1 tile
+    path (exchange_halo2d + gather + oracle epilogue) vs the unsharded
+    kernel path, one process — isolates the temporal share of the sharded
+    train overhead."""
+    import jax.random as jr
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.gbuffer import GBuffer, History
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        temporal_accumulate_pallas_ad)
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_local, PLANE, PLANES, REPL)
+
+    params = SVGFParams()
+    rng = np.random.default_rng(0)
+    color, variance, normal, depth = _scene(rng, H, W)
+    albedo = jnp.asarray(0.3 + 0.4 * rng.random((3, H, W), dtype=np.float32))
+    motion = jnp.asarray(
+        (2.0 * rng.random((2, H, W)) - 1.0).astype(np.float32) * 3.0)
+    hist = History(
+        color=jnp.asarray(rng.random((3, H, W), dtype=np.float32)),
+        moments=jnp.asarray(rng.random((2, H, W), dtype=np.float32)),
+        length=jnp.ones((H, W), jnp.float32) * 3,
+        prev_depth=depth, prev_normal=normal)
+    gb = GBuffer(render=color, albedo=albedo, normal=normal, depth=depth,
+                 motion=motion)
+
+    def loss_un(c, h):
+        integ, var, nh = temporal_accumulate_pallas_ad(
+            gb.replace(render=c), h, params=params)
+        return (jnp.sum(integ ** 2) + jnp.sum(var)
+                + jnp.sum(nh.color) + jnp.sum(nh.moments))
+
+    mesh = _mesh11()
+    hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                         prev_depth=PLANE, prev_normal=PLANES)
+    gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
+                       depth=PLANE, motion=PLANES, denoised=None)
+
+    def local_loss(c, h):
+        integ, var, nh = temporal_accumulate_local(
+            gb.replace(render=c), h, H, W, params=params, impl="pallas_ad")
+        s = (jnp.sum(integ ** 2) + jnp.sum(var)
+             + jnp.sum(nh.color) + jnp.sum(nh.moments))
+        return jax.lax.psum(jax.lax.psum(s, "y"), "x")
+
+    sh_loss = shard_map(local_loss, mesh=mesh,
+                        in_specs=(PLANES, hist_specs),
+                        out_specs=REPL, check_vma=False)
+
+    def make_chain(loss):
+        def mk(n):
+            @jax.jit
+            def f(c):
+                def body(i, carry):
+                    cc, acc = carry
+                    v, g = jax.value_and_grad(loss)(cc, hist)
+                    return g, acc + v
+                g, acc = jax.lax.fori_loop(0, n, body, (c, jnp.float32(0)))
+                return jnp.sum(g) + acc
+            return f
+        return mk
+
+    mpix = H * W / 1e6
+    for name, loss in [("temporal_unsharded", loss_un),
+                       ("temporal_sharded", lambda c, h: sh_loss(c, h))]:
+        dt = _chain_time(make_chain(loss), color, n_lo=2, n_hi=8)
+        print(f"{name:18s} {dt * 1e3:7.2f} ms  {mpix / dt:8.1f} Mpix/s",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1080p")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--mode", default="spatial",
-                    choices=["spatial", "pipeline", "train"])
+                    choices=["spatial", "pipeline", "train", "temporal"])
     args = ap.parse_args()
     if args.mode != "spatial":
         H, W = (1080, 1920) if args.size == "1080p" else (512, 512)
         if args.mode == "pipeline":
             probe_pipeline(H, W, args.iters)
+        elif args.mode == "temporal":
+            probe_temporal(H, W)
         else:
             probe_train(H, W, args.iters)
         return
