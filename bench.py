@@ -183,7 +183,7 @@ def bench_raymarch(H=1080, W=1920, repeats=5, impl=None):
 
 
 def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
-                   weight_math="fast"):
+                   weight_math="fast", radius=2):
     """BASELINE config 3: fused raymarch + G-buffer -> temporal -> SVGF per
     frame (fwd path, animated camera), measured as a frame chain (the
     temporal history is the natural dependency).  Fast tap weights are on
@@ -199,7 +199,7 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
 
     cam_cfg = CameraParams(width=W, height=H)
     rm = RaymarchParams()
-    svgf = SVGFParams(iterations=iterations)
+    svgf = SVGFParams(iterations=iterations, radius=radius)
     scene = cornell_scene()
     cam = cornell_camera()
     platform = jax.devices()[0].platform
@@ -428,9 +428,13 @@ def main():
         metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"
     elif args.config == "pipeline_1080p":
         value, dt = bench_pipeline(precision=args.precision,
-                                   weight_math=args.wmath)
+                                   weight_math=args.wmath,
+                                   radius=args.radius)
+        extra["ms_per_frame"] = round(dt * 1e3, 2)
         wm = "" if args.wmath == "exact" else " fastw"
-        metric = f"raymarch+temporal+SVGF frame 1080p ({args.precision}{wm})"
+        rtag = "" if args.radius == 2 else f" r{args.radius}"
+        metric = (f"raymarch+temporal+SVGF frame 1080p "
+                  f"({args.precision}{wm}{rtag})")
     elif args.config == "train_1080p":
         value, dt = bench_train()
         extra["ms_per_step"] = round(dt * 1e3, 2)

@@ -465,6 +465,139 @@ def _make_shadow_kernel(H, W, TH, TW, params: RaymarchParams,
     return kernel
 
 
+def _make_shadow_shade_kernel(H, W, TH, TW, params: RaymarchParams,
+                              n_sph, n_box, n_pl, has_prev: bool,
+                              cam_w: int, cam_h: int):
+    """Shadow march + full shading epilogue in one pass (VERDICT r3
+    next-step #5): the kernel derives the shadow ray from (p, n, lp),
+    runs the early-exit visibility march, then computes the direct-light
+    geometry term, the shaded render, and (``has_prev``) the prev-camera
+    motion reprojection — the ~1.2 ms of per-frame XLA glue
+    (shading/motion) folded away.  Light constants and the previous
+    camera's basis ride in SMEM after the scene scalars."""
+    min_step = 0.01
+    n_sc = n_sph * 5 + n_box * 7 + n_pl * 5   # flatten_scene length
+    # SMEM extras layout after the scene scalars:
+    # ln(3) rad(3) area | ppos(3) pfwd(3) pright(3) pup(3) phw phh row0 col0
+    O = n_sc
+
+    def kernel(sc_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
+               lx_ref, ly_ref, lz_ref, alb_ref, em_ref, hit_ref,
+               rend_ref, vis_ref, *mot_refs):
+        sdf_d = _make_sdf(sc_ref, n_sph, n_box, n_pl, want_mat=False)
+        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
+        nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+        lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
+        hit_f = hit_ref[:]
+
+        # shadow-ray geometry (mirrors _shadow_factor: origin offset 0.02·n)
+        ox = px + 0.02 * nx
+        oy = py + 0.02 * ny
+        oz = pz + 0.02 * nz
+        tlx, tly, tlz = lx - ox, ly - oy, lz - oz
+        dist_l = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+        inv_dl = 1.0 / jnp.maximum(dist_l, 1e-8)
+        ldx, ldy, ldz = tlx * inv_dl, tly * inv_dl, tlz * inv_dl
+        # pad pixels have zero p/lp -> dist_l tiny -> immediately inactive
+        dist_l = jnp.where(hit_f > 0.5, dist_l, 0.0)
+
+        om = params.relax_omega
+        if om <= 1.0:
+            def cond(carry):
+                i, _t, n_active = carry
+                return (i < params.shadow_steps) & (n_active > 0.0)
+
+            def body(carry):
+                i, t, _n = carry
+                d = sdf_d(ox + t * ldx, oy + t * ldy, oz + t * ldz)
+                active = (d > params.hit_eps) & (t < dist_l - 0.02)
+                t = t + jnp.where(active, jnp.maximum(d, min_step), 0.0)
+                return i + 1, t, jnp.sum(active.astype(jnp.float32))
+
+            _i, t, _n = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), jnp.zeros((TH, TW), jnp.float32),
+                 jnp.float32(1.0)))
+        else:
+            def cond(carry):
+                i, _t, _dp, _sp, n_active = carry
+                return (i < params.shadow_steps) & (n_active > 0.0)
+
+            def body(carry):
+                i, t, d_prev, step_prev, _n = carry
+                d = sdf_d(ox + t * ldx, oy + t * ldy, oz + t * ldz)
+                cons = jnp.maximum(d_prev, min_step)
+                fail = ((d + d_prev) < step_prev) & (step_prev > cons)
+                active = (d > params.hit_eps) & (t < dist_l - 0.02) & ~fail
+                step = jnp.maximum(om * d, min_step)
+                delta = jnp.where(fail, cons - step_prev,
+                                  jnp.where(active, step, 0.0))
+                new_step = jnp.where(fail, cons,
+                                     jnp.where(active, step, step_prev))
+                new_dp = jnp.where(active, d, d_prev)
+                going = active | fail
+                return (i + 1, t + delta, new_dp, new_step,
+                        jnp.sum(going.astype(jnp.float32)))
+
+            z = jnp.zeros((TH, TW), jnp.float32)
+            _i, t, _dp, _sp, _n = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), z, z, z, jnp.float32(1.0)))
+
+        vis = (t >= dist_l - 0.03).astype(jnp.float32)
+
+        # shading geometry from p itself (the XLA path's one_sample math)
+        sx, sy, sz = lx - px, ly - py, lz - pz
+        dist2 = sx * sx + sy * sy + sz * sz
+        inv_d = 1.0 / jnp.maximum(jnp.sqrt(dist2), 1e-8)
+        sdx, sdy, sdz = sx * inv_d, sy * inv_d, sz * inv_d
+        cos_s = jnp.maximum(nx * sdx + ny * sdy + nz * sdz, 0.0)
+        cos_l = jnp.abs(sc_ref[O] * sdx + sc_ref[O + 1] * sdy
+                        + sc_ref[O + 2] * sdz)
+        area = sc_ref[O + 6]
+        geom = cos_s * cos_l * area / jnp.maximum(dist2, 1e-4)
+        shade = vis * geom
+        inv_pi = 1.0 / 3.141592653589793
+        alb = alb_ref[:]     # (3, TH, TW) hit-masked albedo
+        em = em_ref[:]
+        rend = jnp.stack([
+            alb[c] * (sc_ref[O + 3 + c] * shade * inv_pi + 0.08) + em[c]
+            for c in range(3)])
+        rend_ref[:] = rend
+        vis_ref[:] = vis
+
+        if has_prev:
+            mot_ref = mot_refs[0]
+            rx = px - sc_ref[O + 7]
+            ry = py - sc_ref[O + 8]
+            rz = pz - sc_ref[O + 9]
+            zc = sc_ref[O + 10] * rx + sc_ref[O + 11] * ry + sc_ref[O + 12] * rz
+            # true division, NOT reciprocal-multiply: the reprojection must
+            # round bit-identically to the XLA path — a ±1-ulp motion noise
+            # at an exact-zero motion flips the temporal in_bounds test at
+            # image borders (static camera), which is a visible 0.25 history
+            # divergence, not a tolerance issue
+            zs = jnp.maximum(zc, 1e-6)
+            xc = (sc_ref[O + 13] * rx + sc_ref[O + 14] * ry
+                  + sc_ref[O + 15] * rz) / zs
+            yc = (sc_ref[O + 16] * rx + sc_ref[O + 17] * ry
+                  + sc_ref[O + 18] * rz) / zs
+            phw = sc_ref[O + 19]
+            phh = sc_ref[O + 20]
+            ppx = (xc / phw * 0.5 + 0.5) * cam_w - 0.5
+            ppy = (0.5 - yc / phh * 0.5) * cam_h - 0.5
+            by = pl.program_id(0)
+            bx = pl.program_id(1)
+            iy = (sc_ref[O + 21]
+                  + (by * TH + jax.lax.broadcasted_iota(
+                      jnp.int32, (TH, TW), 0)).astype(jnp.float32))
+            ix = (sc_ref[O + 22]
+                  + (bx * TW + jax.lax.broadcasted_iota(
+                      jnp.int32, (TH, TW), 1)).astype(jnp.float32))
+            mot_ref[:] = jnp.stack([(ppy - iy) * hit_f, (ppx - ix) * hit_f])
+
+    return kernel
+
+
 def _pad2(x, H_pad, Wp):
     H, W = x.shape[-2:]
     if H == H_pad and W == Wp:
@@ -659,6 +792,175 @@ def _march_bwd(params, interpret, res, cot):
 
 
 raymarch_pallas_with_mat.defvjp(_march_fwd, _march_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def shadow_shade_pallas(scene, p, n, light_p, albedo, emission, hit_f,
+                        prev_basis, params: RaymarchParams,
+                        cam_wh: Tuple[int, int], interpret: bool = False):
+    """Fused shadow march + shading (+ motion) — one kernel pass replacing
+    the per-frame XLA glue (VERDICT r3 next-step #5).  Returns
+    ``(render, vis, motion)`` (``motion=None`` without ``prev_basis``).
+
+    ``prev_basis``: ``(ppos, pfwd, pright, pup, phw, phh, row0, col0)`` —
+    the previous camera's basis (traced arrays/scalars) and the window's
+    global pixel origin for the reprojection iotas; pass ``None`` for the
+    first frame.  ``albedo``/``emission`` are the hit-masked (3, H, W)
+    material planes; ``hit_f`` the (H, W) hit mask as float.
+
+    Differentiable: the custom VJP recomputes the shading/motion chain in
+    XLA during the backward (visibility is piecewise-constant and treated
+    as a constant exactly like the oracle's stop_gradient), so training
+    saves the fused forward and keeps oracle-identical gradients.  Miss
+    pixels skip the visibility march entirely (their shade is albedo-masked
+    to zero either way); the standalone :func:`shadow_factor_pallas`
+    remains the oracle-parity kernel that marches every pixel."""
+    out, _ = _shade_fwd(scene, p, n, light_p, albedo, emission, hit_f,
+                        prev_basis, params, cam_wh, interpret)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cam_wh", "interpret",
+                                              "has_prev"))
+def _shade_call(scene, p, n, light_p, albedo, emission, hit_f, basis_vec,
+                params, cam_wh, interpret=False, has_prev=False):
+    H, W = p.shape[-2:]
+    TW = min(_TW, _round_up(W, 128))
+    Wp = _round_up(W, TW)
+    TH = min(_TH, _round_up(H, 8))
+    H_pad = _round_up(H, TH)
+    grid = (H_pad // TH, Wp // TW)
+    n_sph = scene.sphere_params.shape[0]
+    n_box = scene.box_params.shape[0]
+    n_pl = scene.plane_params.shape[0]
+    kernel = _make_shadow_shade_kernel(H, W, TH, TW, params, n_sph, n_box,
+                                       n_pl, has_prev, cam_wh[0], cam_wh[1])
+    sc = jnp.concatenate([flatten_scene(scene), basis_vec])
+    pp = _pad2(p, H_pad, Wp)
+    np_ = _pad2(n, H_pad, Wp)
+    lp = _pad2(light_p, H_pad, Wp)
+    ap = _pad2(albedo, H_pad, Wp)
+    ep = _pad2(emission, H_pad, Wp)
+    hp = _pad2(hit_f, H_pad, Wp)
+    n_out = 3 if has_prev else 2
+
+    def tile3(cn):
+        return pl.BlockSpec((cn, TH, TW), lambda by, bx: (0, by, bx),
+                            memory_space=pltpu.VMEM)
+
+    out_specs = [tile3(3), _tile_specs(TH, TW, 1)[0]]
+    out_shape = [jax.ShapeDtypeStruct((3, H_pad, Wp), jnp.float32),
+                 jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32)]
+    if has_prev:
+        out_specs.append(tile3(2))
+        out_shape.append(jax.ShapeDtypeStruct((2, H_pad, Wp), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + _tile_specs(TH, TW, 9) + [tile3(3), tile3(3)]
+        + _tile_specs(TH, TW, 1),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(sc, pp[0], pp[1], pp[2], np_[0], np_[1], np_[2],
+      lp[0], lp[1], lp[2], ap, ep, hp)
+    render = outs[0][:, :H, :W]
+    vis = outs[1][:H, :W]
+    motion = outs[2][:, :H, :W] if has_prev else None
+    return render, vis, motion
+
+
+def _shade_xla(scene, p, n, light_p, albedo, emission, hit_f, vis,
+               prev_basis, cam_wh):
+    """XLA twin of the kernel epilogue (used by the VJP's backward):
+    identical math, ``vis`` a constant."""
+    to_l = light_p - p
+    dist2 = jnp.sum(to_l * to_l, axis=0)
+    ld = to_l / jnp.maximum(jnp.sqrt(dist2), 1e-8)[None]
+    cos_s = jnp.maximum(jnp.sum(n * ld, axis=0), 0.0)
+    from ..raymarch import _normalize
+    light_n = _normalize(jnp.cross(scene.light_u, scene.light_v))
+    cos_l = jnp.abs(light_n[0] * ld[0] + light_n[1] * ld[1]
+                    + light_n[2] * ld[2])
+    area = 4.0 * jnp.linalg.norm(jnp.cross(scene.light_u, scene.light_v))
+    geom = cos_s * cos_l * area / jnp.maximum(dist2, 1e-4)
+    irr = scene.light_radiance[:, None, None] * (vis * geom)[None]
+    render = albedo * (irr / jnp.pi + 0.08) + emission
+    if prev_basis is None:
+        return render, None
+    ppos, pfwd, pright, pup, phw, phh, row0, col0 = prev_basis
+    rel = p - ppos[:, None, None]
+
+    def dot3(v, w):
+        return v[0] * w[0] + v[1] * w[1] + v[2] * w[2]
+
+    z = dot3(pfwd[:, None, None], rel)
+    x = dot3(pright[:, None, None], rel) / jnp.maximum(z, 1e-6)
+    y = dot3(pup[:, None, None], rel) / jnp.maximum(z, 1e-6)
+    px = (x / phw * 0.5 + 0.5) * cam_wh[0] - 0.5
+    py = (0.5 - y / phh * 0.5) * cam_wh[1] - 0.5
+    th, tw = hit_f.shape
+    iy = (row0 + jnp.arange(th, dtype=p.dtype))[:, None]
+    ix = (col0 + jnp.arange(tw, dtype=p.dtype))[None, :]
+    motion = jnp.stack([py - iy, px - ix]) * hit_f[None]
+    return render, motion
+
+
+def _shade_fwd(scene, p, n, light_p, albedo, emission, hit_f, prev_basis,
+               params, cam_wh, interpret):
+    has_prev = prev_basis is not None
+    if has_prev:
+        ppos, pfwd, pright, pup, phw, phh, row0, col0 = prev_basis
+        basis_vec = jnp.concatenate([
+            _light_consts(scene), ppos, pfwd, pright, pup,
+            jnp.stack([phw, phh,
+                       jnp.asarray(row0, jnp.float32),
+                       jnp.asarray(col0, jnp.float32)])]).astype(jnp.float32)
+    else:
+        basis_vec = _light_consts(scene)
+    out = _shade_call(scene, p, n, light_p, albedo, emission, hit_f,
+                      basis_vec, params, cam_wh, interpret, has_prev)
+    render, vis, motion = out
+    res = (scene, p, n, light_p, albedo, emission, hit_f, vis, prev_basis)
+    return (render, vis, motion), res
+
+
+def _light_consts(scene):
+    from ..raymarch import _normalize
+    light_n = _normalize(jnp.cross(scene.light_u, scene.light_v))
+    area = 4.0 * jnp.linalg.norm(jnp.cross(scene.light_u, scene.light_v))
+    return jnp.concatenate([
+        light_n, scene.light_radiance, area[None]]).astype(jnp.float32)
+
+
+def _shade_bwd(params, cam_wh, interpret, res, cot):
+    (scene, p, n, light_p, albedo, emission, hit_f, vis, prev_basis) = res
+    g_render, _g_vis, g_motion = cot
+
+    def f(scene, p, n, light_p, albedo, emission, hit_f):
+        render, motion = _shade_xla(scene, p, n, light_p, albedo, emission,
+                                    hit_f, vis, prev_basis, cam_wh)
+        if motion is None:
+            return (render,)
+        return (render, motion)
+
+    _, vjp_fn = jax.vjp(f, scene, p, n, light_p, albedo, emission, hit_f)
+    cots = (g_render,) if prev_basis is None else (g_render, g_motion)
+    grads = vjp_fn(cots)
+    # camera-basis cotangents are zero by convention: the camera is never an
+    # optimization target (gradients w.r.t. the hit point p, which the
+    # motion reprojection reads, ARE routed — see vjp over f above)
+    import numpy as _np
+    d_pb = jax.tree.map(
+        lambda x: (_np.zeros(jnp.shape(x), jax.dtypes.float0)
+                   if jnp.issubdtype(jnp.result_type(x), jnp.integer)
+                   else jnp.zeros(jnp.shape(x), jnp.result_type(x))),
+        prev_basis)
+    return grads + (d_pb,)
+
+
+shadow_shade_pallas.defvjp(_shade_fwd, _shade_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))

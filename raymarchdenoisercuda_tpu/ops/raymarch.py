@@ -339,11 +339,18 @@ def render_gbuffer_window(
     impl: str = "jnp",
     interpret: bool = False,
     normal_impl: str = "xla",
+    shade_impl: str = "auto",
 ) -> GBuffer:
     """Fused raymarch + G-buffer pass over a pixel window (sharding-ready):
     one march, all planes emitted.  ``spp`` light samples average into the
     noisy render plane (1 = reference noise level; large spp approximates the
     clean target).  row0/col0 may be traced (per-device tile origins).
+
+    ``shade_impl="auto"`` folds the direct-light shading and the motion
+    reprojection into the shadow kernel's epilogue on the pallas path at
+    spp=1 (``shadow_shade_pallas`` — kills the remaining per-frame XLA
+    glue; differentiable via its XLA-recompute VJP); ``"xla"`` keeps the
+    separate shading passes (spp>1 always does).
 
     ``impl="pallas"`` routes the two hot loops (primary march, shadow march)
     through the banded early-exit TPU kernels (ops/pallas/raymarch_tpu.py);
@@ -385,6 +392,31 @@ def render_gbuffer_window(
     hit_f = hit.astype(ro.dtype)[None]
     albedo = albedo * hit_f
     emission = emission * hit_f
+
+    if shade_impl == "auto":
+        shade_impl = "pallas" if (impl == "pallas" and spp == 1) else "xla"
+    if shade_impl == "pallas":
+        from .pallas.raymarch_tpu import shadow_shade_pallas
+
+        # split exactly like the XLA path's spp loop so the light sample
+        # (and thus the MC noise) is bit-identical at spp=1
+        lp = sample_light(scene, jax.random.split(key, 1)[0], t.shape)
+        prev_basis = None
+        if prev_camera is not None:
+            pfwd, pright, pup, phw, phh = camera_basis(prev_camera, cam_cfg)
+            prev_basis = (prev_camera.position, pfwd, pright, pup, phw, phh,
+                          jnp.asarray(row0, jnp.float32),
+                          jnp.asarray(col0, jnp.float32))
+        render, _vis, motion = shadow_shade_pallas(
+            scene, p, n, lp, albedo, emission, hit_f[0], prev_basis,
+            params, (cam_cfg.width, cam_cfg.height), interpret)
+        if motion is None:
+            motion = jnp.zeros((2,) + t.shape, ro.dtype)
+        depth = jnp.where(hit, t, 0.0)
+        return GBuffer(
+            render=render, albedo=albedo, normal=n * hit_f, depth=depth,
+            motion=motion, denoised=None,
+        )
 
     # direct lighting: spp jittered area-light samples (soft-shadow MC noise)
     def one_sample(k):
@@ -439,7 +471,7 @@ def render_gbuffer_window(
 
 @functools.partial(jax.jit, static_argnames=("cam_cfg", "params", "spp",
                                               "impl", "interpret",
-                                              "normal_impl"))
+                                              "normal_impl", "shade_impl"))
 def render_gbuffer(
     scene: Scene,
     camera: Camera,
@@ -452,14 +484,16 @@ def render_gbuffer(
     impl: str = "jnp",
     interpret: bool = False,
     normal_impl: str = "xla",
+    shade_impl: str = "auto",
 ) -> GBuffer:
     """Full-frame fused raymarch + G-buffer pass (``impl="pallas"`` for the
     TPU kernel path; ``normal_impl="pallas"`` fuses the normal into the
-    march kernel — inference only)."""
+    march kernel; ``shade_impl="auto"`` fuses shading+motion into the
+    shadow kernel at spp=1 — both differentiable)."""
     return render_gbuffer_window(
         scene, camera, prev_camera, key, 0, 0, cam_cfg.height, cam_cfg.width,
         cam_cfg=cam_cfg, params=params, spp=spp, impl=impl,
-        interpret=interpret, normal_impl=normal_impl,
+        interpret=interpret, normal_impl=normal_impl, shade_impl=shade_impl,
     )
 
 
