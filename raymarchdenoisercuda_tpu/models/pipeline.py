@@ -24,7 +24,7 @@ from .svgf import svgf_denoise_frame
 @functools.partial(jax.jit, static_argnames=("cam_cfg", "rm_params",
                                               "svgf_params", "impl", "spp",
                                               "precision", "temporal",
-                                              "normal_impl"))
+                                              "normal_impl", "motion_grad"))
 def render_and_denoise(
     scene: Scene,
     camera: Camera,
@@ -40,6 +40,7 @@ def render_and_denoise(
     precision: str = "f32",
     temporal: str = "auto",
     normal_impl: str = "auto",
+    motion_grad: bool = True,
 ) -> Tuple[GBuffer, History]:
     """One frame of the full pipeline (render + denoise), differentiable.
 
@@ -56,7 +57,8 @@ def render_and_denoise(
                           cam_cfg=cam_cfg, params=rm_params, spp=spp,
                           impl=rm_impl, normal_impl=normal_impl)
     return svgf_denoise_frame(gbuf, history, params=svgf_params, impl=impl,
-                              precision=precision, temporal=temporal)
+                              precision=precision, temporal=temporal,
+                              motion_grad=motion_grad)
 
 
 class TrainState(NamedTuple):
@@ -95,6 +97,10 @@ def make_train_step(
             # pallas path uses the differentiable kernel pair (gather +
             # hand-written adjoint), not the fused inference kernel
             temporal="ad" if impl == "pallas" else "auto",
+            # material-only optimization: the motion gradient is provably
+            # dead (motion depends on geometry, not the albedo table), so
+            # the dh-only temporal adjoint is exact and ~halves its cost
+            motion_grad=False,
         )
         loss = jnp.mean((out.denoised - target) ** 2)
         return loss, new_hist

@@ -40,7 +40,8 @@ def remodulate(irradiance: jax.Array, albedo: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit, static_argnames=("params", "detach_weights", "demodulate_albedo",
-                              "impl", "precision", "weight_math", "temporal")
+                              "impl", "precision", "weight_math", "temporal",
+                              "motion_grad")
 )
 def svgf_denoise_frame(
     gbuf: GBuffer,
@@ -53,6 +54,7 @@ def svgf_denoise_frame(
     precision: str = "f32",
     weight_math: str = "exact",
     temporal: str = "auto",
+    motion_grad: bool = True,
 ) -> Tuple[GBuffer, History]:
     """Denoise one frame with full SVGF; returns (gbuffer+denoised, new history).
 
@@ -81,8 +83,10 @@ def svgf_denoise_frame(
     elif use_kernel and temporal == "ad":
         from ..ops.pallas.temporal_tpu import temporal_accumulate_pallas_ad
 
+        # motion_grad=False: the dh-only adjoint, exact when the loss
+        # gradient w.r.t. motion is dead downstream (material-only training)
         integrated, variance, new_history = temporal_accumulate_pallas_ad(
-            work, history, params=params)
+            work, history, params=params, motion_grad=motion_grad)
     else:
         integrated, variance, new_history = temporal_accumulate(
             work, history, params=params)

@@ -485,6 +485,81 @@ def _make_gather_kernel(TH, Wp, CH, BLKH, M):
     return kernel
 
 
+def _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M):
+    """d_hist-only adjoint (``motion_grad=False``): the transposed tent
+    scatter alone.  Skips the history staging and the tent-derivative dot
+    entirely — material-table training (the config-4 target) has a provably
+    dead motion gradient (motion depends on geometry, not materials), but
+    XLA cannot dead-code-eliminate half a Pallas kernel, so the full adjoint
+    was paying ~10 extra staged planes + per-tap rolls for nothing."""
+    def kernel(g_hbm, mot_hbm, dh_ref, g_s, mot_s, sems):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+        hbm = (g_hbm, mot_hbm)
+        scratch = (g_s, mot_s)
+
+        def make_copies(slot, band):
+            row0 = pl.multiple_of(band * TH, 8)
+            return [pltpu.make_async_copy(
+                src.at[:, pl.ds(row0, BLKH), :], dst.at[slot],
+                sems.at[slot, i]) for i, (src, dst) in enumerate(
+                    zip(hbm, scratch))]
+
+        slot = jax.lax.rem(b, 2)
+        nslot = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _():
+            for cp in make_copies(0, 0):
+                cp.start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            for cp in make_copies(nslot, b + 1):
+                cp.start()
+
+        for cp in make_copies(slot, b):
+            cp.wait()
+
+        g_t = g_s[slot]             # (10, BLKH, Wp) haloed cotangent
+        mot_t = mot_s[slot]         # (2, BLKH, Wp) haloed motion
+        m0h, m1h = mot_t[0], mot_t[1]
+
+        m0c = jnp.clip(m0h, -float(M), float(M))
+        m1c = jnp.clip(m1h, -float(M), float(M))
+        dylo = jnp.floor(jnp.min(m0c)).astype(jnp.int32)
+        dyhi = jnp.floor(jnp.max(m0c)).astype(jnp.int32) + 1
+        dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
+        dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
+
+        def dy_body(carry):
+            dy, dh = carry
+            dyf = dy.astype(jnp.float32)
+            ty_h = jnp.maximum(0.0, 1.0 - jnp.abs(m0h - dyf))
+            # weighted cotangent rolled to axis-1 source coordinates once
+            # per dy; per dx only the axis-2 roll remains
+            gy_r = pltpu.roll(ty_h[None] * g_t, jnp.mod(dy, BLKH), axis=1)
+            tx_src = pltpu.roll(m1h, jnp.mod(dy, BLKH), axis=0)
+
+            def dx_body(carry2):
+                dx, dh2 = carry2
+                dxf = dx.astype(jnp.float32)
+                tx_h = jnp.maximum(0.0, 1.0 - jnp.abs(tx_src - dxf))
+                P = pltpu.roll(tx_h[None] * gy_r, jnp.mod(dx, Wp), axis=2)
+                return dx + 1, dh2 + P
+
+            _, dh = jax.lax.while_loop(
+                lambda c2: c2[0] <= dxhi, dx_body, (dxlo, dh))
+            return dy + 1, dh
+
+        dh0 = jnp.zeros((10, BLKH, Wp), jnp.float32)
+        _, dh = jax.lax.while_loop(
+            lambda c: c[0] <= dyhi, dy_body, (dylo, dh0))
+        dh_ref[:] = _rows(dh, CH, TH)
+
+    return kernel
+
+
 def _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M):
     """Adjoint of the tent gather: d_hist is the transposed tent scatter
     (each source's weighted cotangent rolled FORWARD by its offset); d_motion
@@ -578,15 +653,20 @@ def _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _reproject_gather(hist_stack, motion, params: SVGFParams,
-                      interpret: bool = False):
+                      interpret: bool = False, motion_grad: bool = True):
     """Bounded-motion tent reprojection of the (10, H, W) history stack —
     mathematically identical to ``ops.temporal.bilinear_shift_sample_many``
     (the oracle's static 196-tap formulation), evaluated per row band over
     the offsets the band's motion actually brackets.  Differentiable: the
     adjoint is a Pallas kernel too (transposed tent scatter + tent-derivative
-    motion gradient)."""
+    motion gradient).
+
+    ``motion_grad=False`` runs the dh-only adjoint (d_motion = 0): exact
+    whenever the loss gradient w.r.t. motion is dead downstream — e.g.
+    material-table optimization, where motion depends on geometry only —
+    and roughly halves the adjoint kernel's staging + roll traffic."""
     return _gather_call(hist_stack, motion, params, interpret)
 
 
@@ -652,26 +732,60 @@ def _gather_bwd_call(hist_stack, motion, g, params, interpret=False):
     return dh[:, :H, :W], dm[:, :H, :W]
 
 
-def _reproject_fwd(hist_stack, motion, params, interpret):
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def _gather_bwd_hist_call(motion, g, params, interpret=False):
+    """d_hist-only adjoint (see ``_make_gather_bwd_hist_kernel``)."""
+    H, W = g.shape[-2:]
+    M, Wp, CH, TH, H_pad = _gather_geometry(H, W, params)
+    TH = min(32, TH)
+    H_pad = _round_up(H, TH)
+    BLKH = TH + 2 * CH
+    grid = H_pad // TH
+    kernel = _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M)
+    dh = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=pl.BlockSpec((10, TH, Wp), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, H_pad, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, BLKH, Wp), jnp.float32),
+            pltpu.VMEM((2, 2, BLKH, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(_pad_rows_halo(g, H_pad, CH, Wp),
+      _pad_rows_halo(motion, H_pad, CH, Wp))
+    return dh[:, :H, :W]
+
+
+def _reproject_fwd(hist_stack, motion, params, interpret, motion_grad):
     return _gather_call(hist_stack, motion, params, interpret), (
         hist_stack, motion)
 
 
-def _reproject_bwd(params, interpret, res, g):
+def _reproject_bwd(params, interpret, motion_grad, res, g):
     hist_stack, motion = res
+    if not motion_grad:
+        dh = _gather_bwd_hist_call(motion, g, params, interpret)
+        return dh, jnp.zeros_like(motion)
     return _gather_bwd_call(hist_stack, motion, g, params, interpret)
 
 
 _reproject_gather.defvjp(_reproject_fwd, _reproject_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+@functools.partial(jax.jit, static_argnames=("params", "interpret",
+                                              "motion_grad"))
 def temporal_accumulate_pallas_ad(
     gbuf: GBuffer,
     history: History,
     *,
     params: SVGFParams = SVGFParams(),
     interpret: bool = False,
+    motion_grad: bool = True,
 ) -> Tuple[jax.Array, jax.Array, History]:
     """Differentiable temporal step on TPU: Pallas tent gather (custom VJP,
     both directions kernels) + the oracle's epilogue verbatim — forward
@@ -690,7 +804,8 @@ def temporal_accumulate_pallas_ad(
         history.color, history.moments, history.length[None],
         history.prev_depth[None], history.prev_normal,
     ])
-    gathered = _reproject_gather(hist_stack, motion, params, interpret)
+    gathered = _reproject_gather(hist_stack, motion, params, interpret,
+                                 motion_grad)
 
     m0, m1 = motion[0], motion[1]
     iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(color.dtype)

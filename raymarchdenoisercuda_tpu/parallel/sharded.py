@@ -295,6 +295,7 @@ def _spatial_moments_local(lum, ry, cx, Hg, Wg, radius=3):
 def temporal_accumulate_local(
     gbuf: GBuffer, history: History, Hg: int, Wg: int,
     *, params: SVGFParams, impl: str = "oracle", interpret: bool = False,
+    motion_grad: bool = True,
 ):
     """Tile-local temporal step (mirror of ops.temporal.temporal_accumulate).
 
@@ -371,7 +372,7 @@ def temporal_accumulate_local(
             history.prev_depth[None], history.prev_normal])
         g = _reproject_gather(
             exchange_halo2d(hist_stack, mh), exchange_halo2d(motion, mh),
-            params, interpret)[:, mh:mh + th, mh:mh + tw]
+            params, interpret, motion_grad)[:, mh:mh + th, mh:mh + tw]
         prev_color, prev_moments = g[0:3], g[3:5]
         prev_len, prev_depth, prev_normal = g[5], g[6], g[7:10]
     else:
@@ -712,6 +713,7 @@ def pipeline_local(
     impl: str = "oracle", temporal_impl: str = "auto",
     interpret: bool = False, weight_math: str = "exact",
     normal_impl: str = "xla", spatial_bwd_impl: str = "recompute",
+    motion_grad: bool = True,
 ):
     """Per-device frame pipeline (call inside shard_map).
 
@@ -746,7 +748,7 @@ def pipeline_local(
     work = gbuf.replace(render=demodulate(gbuf.render, gbuf.albedo)) if demod else gbuf
     integrated, variance, new_history = temporal_accumulate_local(
         work, history, Hg, Wg, params=svgf_params, impl=temporal_impl,
-        interpret=interpret)
+        interpret=interpret, motion_grad=motion_grad)
     filtered, _v, feedback = svgf_spatial_local(
         integrated, variance, gbuf.normal, gbuf.depth, Hg, Wg,
         params=svgf_params, return_feedback=True, impl=impl,
@@ -851,6 +853,9 @@ def make_sharded_train_step(
             cam_cfg=cam_cfg, rm_params=rm_params, svgf_params=svgf_params,
             impl=impl, temporal_impl=temporal_impl, interpret=interpret,
             spatial_bwd_impl=spatial_bwd_impl,
+            # material-only optimization: motion gradient provably dead ->
+            # dh-only temporal adjoint (exact, ~half the adjoint cost)
+            motion_grad=False,
             # the fused march+normal kernel is differentiable (round 4):
             # training also saves the XLA sdf_normal forward pass
             normal_impl="pallas" if impl == "pallas" else "xla")

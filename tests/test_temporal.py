@@ -355,6 +355,33 @@ def test_temporal_ad_gradient_parity_interpret(rng):
         assert np.abs(np.asarray(x)).max() > 0, f"{name} trivially zero"
 
 
+def test_reproject_gather_hist_only_adjoint(rng):
+    """motion_grad=False (the material-only training fast path): d_hist
+    matches the full adjoint at fp-reassociation level and d_motion is
+    exactly zero (the dead gradient it skips computing)."""
+    import jax.numpy as jnp
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        _reproject_gather)
+
+    H, W = 40, 56
+    hist = jnp.asarray(rng.random((10, H, W), dtype=np.float32))
+    motion = jnp.asarray(
+        (2.0 * rng.random((2, H, W)) - 1.0).astype(np.float32) * 4.0)
+    params = SVGFParams()
+    wt = jnp.asarray(rng.random((10, H, W), dtype=np.float32))
+
+    def loss(h, m, mg):
+        g = _reproject_gather(h, m, params, True, mg)
+        return jnp.sum(wt * g)
+
+    gh_full, gm_full = jax.grad(loss, argnums=(0, 1))(hist, motion, True)
+    gh_ho, gm_ho = jax.grad(loss, argnums=(0, 1))(hist, motion, False)
+    np.testing.assert_allclose(np.asarray(gh_ho), np.asarray(gh_full),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(gm_ho).max()) == 0.0
+    assert float(jnp.abs(gm_full).max()) > 0.0  # the full adjoint is live
+
+
 @pytest.mark.slow
 def test_train_step_pallas_temporal_ad(rng):
     """make_train_step(impl='pallas') now differentiates through the
