@@ -761,6 +761,212 @@ def _gather_bwd_hist_call(motion, g, params, interpret=False):
     return dh[:, :H, :W]
 
 
+# ---------------------------------------------------------------------------
+# canvas-form gather: the sharded paths keep the temporal history as a
+# margin-canvas tile across frames (VERDICT r3 next-step #3) — per frame only
+# the mh-wide margins are refreshed over ICI, and the gather kernels consume
+# the canvas DIRECTLY (no tile-as-image pad, no halo-ring compute, no crop).
+# ---------------------------------------------------------------------------
+
+
+def hist_canvas_geometry(th: int, tw: int, params: SVGFParams):
+    """Geometry of a per-device temporal history canvas:
+    rows = [CH margin | th(+pad) center | CH margin], lanes =
+    [CLm margin | tw | pad].  Returns
+    (mh, CH, CLm, Wpc, TH, th_pad, TH_b) where TH | th_pad (fwd bands) and
+    TH_b | (th_pad + 2·CH) (the margin-writing adjoint's out region).
+    ``CLm >= 3`` so the fused inference kernel's 7×7 moment window and 3×3
+    clamp fit the render canvas's lane margins too."""
+    mh = params.max_motion + 1
+    CH = _round_up(mh, 8)
+    CLm = max(mh, 3)
+    Wpc = _round_up(tw + 2 * CLm, 128)
+    TH = min(64, _round_up(th, 8))
+    th_pad = _round_up(th, TH)
+    TH_b = next(t for t in (32, 16, 8) if (th_pad + 2 * CH) % t == 0)
+    return mh, CH, CLm, Wpc, TH, th_pad, TH_b
+
+
+def temporal_accumulate_canvas_pallas(
+    gbuf_ctr: GBuffer, histC, rendC, origin, bounds,
+    *, params: SVGFParams, interpret: bool = False,
+):
+    """Fused inference temporal step consuming the history CANVAS directly
+    (sharded frame path, VERDICT r3 next-step #3): no tile-as-image pad, no
+    halo-ring compute, no output crop copies.
+
+    ``gbuf_ctr``: center-tile G-buffer whose motion/depth/normal are read
+    center-blocked (embedded at lane CLm by this wrapper — no exchange);
+    ``histC`` the (10, CH+th_pad+CH, Wpc) history canvas with >= mh-wide
+    refreshed margins; ``rendC`` the current render embedded in a
+    (3, CR+th_pad+CR, Wpc) canvas whose margins hold >= 3 exchanged
+    rows/lanes (7×7 moment window + 3×3 clamp reach).  Returns
+    (integrated, variance, moments, length) as (…, th_pad, Wpc) center
+    arrays (lane crops fuse into consumers)."""
+    th, tw = gbuf_ctr.depth.shape
+    mh, CH, CLm, Wpc, TH, th_pad, TH_b = hist_canvas_geometry(th, tw, params)
+    CR = 8
+    assert rendC.shape == (3, 2 * CR + th_pad, Wpc), rendC.shape
+    grid = th_pad // TH
+    ry, cx = origin
+    Hm, Wm = bounds
+    kernel = _make_kernel(Hm, Wm, TH, Wpc, CH, CR, params, with_origin=True)
+
+    def embed_cb(x):
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, th_pad - th),
+                                         (CLm, Wpc - tw - CLm)]
+        return jnp.pad(x, pad)
+
+    def cspec(n):
+        if n is None:
+            return pl.BlockSpec((TH, Wpc), lambda b: (b, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((n, TH, Wpc), lambda b: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+
+    motion = (gbuf_ctr.motion if gbuf_ctr.motion is not None
+              else jnp.zeros((2, th, tw), jnp.float32))
+    org = jnp.stack([jnp.asarray(ry, jnp.int32),
+                     jnp.asarray(cx, jnp.int32) - CLm])
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  cspec(2), cspec(None), cspec(3)],
+        out_specs=(cspec(3), cspec(None), cspec(2), cspec(None)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, th_pad, Wpc), jnp.float32),
+            jax.ShapeDtypeStruct((th_pad, Wpc), jnp.float32),
+            jax.ShapeDtypeStruct((2, th_pad, Wpc), jnp.float32),
+            jax.ShapeDtypeStruct((th_pad, Wpc), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, TH + 2 * CH, Wpc), jnp.float32),
+            pltpu.VMEM((2, 3, TH + 2 * CR, Wpc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(org, histC, rendC, embed_cb(motion), embed_cb(gbuf_ctr.depth),
+      embed_cb(gbuf_ctr.normal))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _reproject_gather_canvas(histC, motionB, params: SVGFParams,
+                             geom, interpret: bool = False,
+                             motion_grad: bool = True):
+    """Gather from a history canvas (10, CH+th_pad+CH, Wpc) with margins
+    holding >= mh rows/lanes of refreshed neighbor data.  ``motionB`` is the
+    motion embedded with DOUBLE (2·CH) margins — exchanged mh-wide real data,
+    zeros beyond — so the margin-writing adjoint's staging offsets stay
+    non-negative.  Returns the gathered stack at center rows, full canvas
+    lanes: (10, th_pad, Wpc).
+
+    The adjoint writes d_histC as a FULL canvas (gradients for the exchanged
+    margins land in the margin rows/lanes, routed to the owning neighbors by
+    the caller's refresh/exchange transposes)."""
+    return _gather_canvas_call(histC, motionB, params, geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "geom", "interpret"))
+def _gather_canvas_call(histC, motionB, params, geom, interpret=False):
+    mh, CH, CLm, Wpc, TH, th_pad, TH_b = geom
+    M = params.max_motion
+    BLKH = TH + 2 * CH
+    grid = th_pad // TH
+    kernel = _make_gather_kernel(TH, Wpc, CH, BLKH, M)
+    mot_cb = motionB[:, 2 * CH:2 * CH + th_pad, :]
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec((2, TH, Wpc), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((10, TH, Wpc), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, th_pad, Wpc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, BLKH, Wpc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(histC, mot_cb)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "geom", "interpret",
+                                              "motion_grad"))
+def _gather_canvas_bwd_call(histC, motionB, g, params, geom, interpret=False,
+                            motion_grad=True):
+    """Adjoint over the canvas: out rows cover the FULL d_histC canvas
+    (th_pad + 2·CH rows = margin-writing), staging reads the double-margin
+    cotangent/motion arrays at non-negative offsets."""
+    mh, CH, CLm, Wpc, TH, th_pad, TH_b = geom
+    M = params.max_motion
+    BLKH = TH_b + 2 * CH
+    H_out = th_pad + 2 * CH     # == the d_histC canvas height
+    grid = H_out // TH_b
+    gB = jnp.pad(g, [(0, 0), (2 * CH, 2 * CH), (0, 0)])
+    if motion_grad:
+        kernel = _make_gather_bwd_kernel(TH_b, Wpc, CH, BLKH, M)
+        dh, dmB = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+            out_specs=(pl.BlockSpec((10, TH_b, Wpc), lambda b: (0, b, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((2, TH_b, Wpc), lambda b: (0, b, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((10, H_out, Wpc), jnp.float32),
+                       jax.ShapeDtypeStruct((2, H_out, Wpc), jnp.float32)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 10, BLKH, Wpc), jnp.float32),
+                pltpu.VMEM((2, 10, BLKH, Wpc), jnp.float32),
+                pltpu.VMEM((2, 2, BLKH, Wpc), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 2 ** 20),
+            interpret=interpret,
+        )(jnp.pad(histC, [(0, 0), (CH, CH), (0, 0)]), gB, motionB)
+        dm = jnp.pad(dmB, [(0, 0), (CH, CH), (0, 0)])
+        return dh, dm
+    kernel = _make_gather_bwd_hist_kernel(TH_b, Wpc, CH, BLKH, M)
+    dh = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=pl.BlockSpec((10, TH_b, Wpc), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, H_out, Wpc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, BLKH, Wpc), jnp.float32),
+            pltpu.VMEM((2, 2, BLKH, Wpc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(gB, motionB)
+    return dh, jnp.zeros_like(motionB)
+
+
+def _reproject_canvas_fwd(histC, motionB, params, geom, interpret,
+                          motion_grad):
+    return _gather_canvas_call(histC, motionB, params, geom, interpret), (
+        histC, motionB)
+
+
+def _reproject_canvas_bwd(params, geom, interpret, motion_grad, res, g):
+    histC, motionB = res
+    return _gather_canvas_bwd_call(histC, motionB, g, params, geom,
+                                   interpret, motion_grad)
+
+
+_reproject_gather_canvas.defvjp(_reproject_canvas_fwd, _reproject_canvas_bwd)
+
+
 def _reproject_fwd(hist_stack, motion, params, interpret, motion_grad):
     return _gather_call(hist_stack, motion, params, interpret), (
         hist_stack, motion)

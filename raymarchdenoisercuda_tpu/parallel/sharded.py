@@ -388,6 +388,22 @@ def temporal_accumulate_local(
         prev_depth = _bilinear_gather_padded(hd, ys, xs, mh)
         prev_normal = _bilinear_gather_padded(hn, ys, xs, mh)
 
+    integrated, variance, moments, n_new = _temporal_epilogue_sharded(
+        gbuf, (prev_color, prev_moments, prev_len, prev_depth, prev_normal),
+        in_bounds, ry, cx, Hg, Wg, params)
+    new_history = History(
+        color=integrated, moments=moments, length=n_new,
+        prev_depth=gbuf.depth, prev_normal=gbuf.normal)
+    return integrated, variance, new_history
+
+
+def _temporal_epilogue_sharded(gbuf, planes, in_bounds, ry, cx, Hg, Wg,
+                               params):
+    """Shared tile-local temporal epilogue (mirror of the oracle's
+    ``_temporal_epilogue``, with the 3x3 clamp and 7x7 moments on
+    halo-exchanged tiles + global masks)."""
+    prev_color, prev_moments, prev_len, prev_depth, prev_normal = planes
+    color = gbuf.render
     depth_ok = jnp.abs(prev_depth - gbuf.depth) <= 0.1 * jnp.maximum(
         jnp.abs(gbuf.depth), 1e-3)
     ndot = jnp.sum(prev_normal * gbuf.normal, axis=0)
@@ -417,11 +433,151 @@ def temporal_accumulate_local(
     var_spatial = jnp.maximum(sm2 - sm1 * sm1, 0.0)
     variance = jnp.where(n_new < params.variance_boost_frames, var_spatial,
                          var_temporal)
+    return integrated, variance, moments, n_new
 
-    new_history = History(
-        color=integrated, moments=moments, length=n_new,
-        prev_depth=gbuf.depth, prev_normal=gbuf.normal)
-    return integrated, variance, new_history
+
+def hist_canvas_shape(th: int, tw: int, params: SVGFParams):
+    """Per-device temporal history canvas shape (see
+    ``temporal_tpu.hist_canvas_geometry``)."""
+    from ..ops.pallas.temporal_tpu import hist_canvas_geometry
+
+    mh, CH, CLm, Wpc, TH, th_pad, TH_b = hist_canvas_geometry(th, tw, params)
+    return (10, CH + th_pad + CH, Wpc)
+
+
+def init_history_canvas(mesh: Mesh, Hg: int, Wg: int, params: SVGFParams,
+                        data: int = 1):
+    """Zero-history canvas carry for the canvas-form sharded temporal paths
+    (GLOBAL array; shard with P(None, 'y', 'x') or P('data', None, 'y', 'x')
+    when ``data > 1``)."""
+    ny = mesh.shape["y"]
+    nx = mesh.shape["x"]
+    _, rows, cols = hist_canvas_shape(Hg // ny, Wg // nx, params)
+    shape = (10, ny * rows, nx * cols)
+    if data > 1:
+        shape = (data,) + shape
+    return jnp.zeros(shape, jnp.float32)
+
+
+def history_from_canvas(histC, th: int, tw: int, params: SVGFParams):
+    """Standard center-tile History pytree from a per-device canvas (call
+    inside shard_map, or on a single tile)."""
+    from ..ops.pallas.temporal_tpu import hist_canvas_geometry
+
+    mh, CH, CLm, Wpc, TH, th_pad, TH_b = hist_canvas_geometry(th, tw, params)
+    c = histC[:, CH:CH + th, CLm:CLm + tw]
+    return History(color=c[0:3], moments=c[3:5], length=c[5],
+                   prev_depth=c[6], prev_normal=c[7:10])
+
+
+def temporal_accumulate_canvas_local(
+    gbuf: GBuffer, histC, Hg: int, Wg: int,
+    *, params: SVGFParams, interpret: bool = False,
+    motion_grad: bool = True,
+):
+    """Differentiable tile-local temporal step with the history carried as a
+    margin-canvas ACROSS FRAMES (VERDICT r3 next-step #3): instead of
+    re-exchanging ~10 full history planes per frame, only the mh-wide canvas
+    margins are refreshed over ICI, and the gather kernels consume/emit the
+    canvas directly (no tile-as-image pad, no halo-ring compute).  The
+    adjoint writes margin gradients into the canvas margins; the refresh
+    transposes route them to the owning neighbors.
+
+    ``histC``: (10, CH+th_pad+CH, Wpc) canvas (``init_history_canvas``) with
+    plane order [color(3), moments(2), length, prev_depth, prev_normal(3)].
+    Returns (integrated, variance, new_histC); the new canvas's margins are
+    stale (refreshed at the next frame's consume)."""
+    from ..ops.pallas.temporal_tpu import (hist_canvas_geometry,
+                                           _reproject_gather_canvas)
+
+    if params.max_motion is None:
+        raise ValueError("canvas temporal accumulation requires bounded "
+                         "motion (SVGFParams.max_motion)")
+    th, tw = gbuf.depth.shape
+    geom = hist_canvas_geometry(th, tw, params)
+    mh, CH, CLm, Wpc, THf, th_pad, TH_b = geom
+    ry, cx = tile_origin((th, tw))
+    color = gbuf.render
+    motion = (gbuf.motion if gbuf.motion is not None
+              else jnp.zeros((2, th, tw), color.dtype))
+    mm = params.max_motion
+
+    # 1. refresh the mh-wide margins from the neighbors' centers (strips)
+    histC = _refresh_margins_rl(histC, CH, CLm, th, tw, mh)
+
+    # 2. motion with doubled (2·CH) margins: exchanged mh-wide real data so
+    # the adjoint's source weights see neighbor motion, zeros beyond
+    mot_ex = exchange_halo2d(motion, mh)
+    motionB = jnp.pad(mot_ex, [(0, 0),
+                               (2 * CH - mh, 2 * CH - mh + th_pad - th),
+                               (CLm - mh, Wpc - tw - CLm - mh)])
+
+    # 3. canvas gather (custom VJP both directions)
+    gathered = _reproject_gather_canvas(histC, motionB, params, geom,
+                                        interpret, motion_grad)
+    ctr = gathered[:, :th, CLm:CLm + tw]
+    planes = (ctr[0:3], ctr[3:5], ctr[5], ctr[6], ctr[7:10])
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(color.dtype)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(color.dtype)
+    gys = iy + motion[0] + ry
+    gxs = ix + motion[1] + cx
+    in_bounds = ((gys >= 0) & (gys <= Hg - 1) & (gxs >= 0) & (gxs <= Wg - 1)
+                 & (jnp.abs(motion[0]) <= mm) & (jnp.abs(motion[1]) <= mm))
+
+    integrated, variance, moments, n_new = _temporal_epilogue_sharded(
+        gbuf, planes, in_bounds, ry, cx, Hg, Wg, params)
+
+    new_stack = jnp.concatenate([
+        integrated, moments, n_new[None], gbuf.depth[None], gbuf.normal])
+    new_histC = jnp.pad(new_stack, [(0, 0), (CH, CH + th_pad - th),
+                                    (CLm, Wpc - tw - CLm)])
+    return integrated, variance, new_histC
+
+
+def temporal_accumulate_canvas_fused_local(
+    gbuf: GBuffer, histC, Hg: int, Wg: int,
+    *, params: SVGFParams, interpret: bool = False,
+):
+    """Inference twin of :func:`temporal_accumulate_canvas_local`: the fused
+    temporal band kernel consumes the history canvas directly.  Per frame
+    the ICI traffic is the mh-wide canvas margin strips plus a 3-wide render
+    exchange (7×7 moments + 3×3 clamp reach) — motion/depth/normal are read
+    center-blocked with no exchange at all (the old tile path exchanged all
+    19 planes at mh and cropped 4 outputs).  Inference-only (no VJP)."""
+    from ..ops.pallas.temporal_tpu import (hist_canvas_geometry,
+                                           temporal_accumulate_canvas_pallas)
+
+    if params.max_motion is None:
+        raise ValueError("canvas temporal accumulation requires bounded "
+                         "motion (SVGFParams.max_motion)")
+    th, tw = gbuf.depth.shape
+    geom = hist_canvas_geometry(th, tw, params)
+    mh, CH, CLm, Wpc, THf, th_pad, TH_b = geom
+    CR = 8
+    ry, cx = tile_origin((th, tw))
+
+    histC = _refresh_margins_rl(histC, CH, CLm, th, tw, mh)
+    rend_ex = exchange_halo2d(gbuf.render, 3)
+    rendC = jnp.pad(rend_ex, [(0, 0), (CR - 3, CR - 3 + th_pad - th),
+                              (CLm - 3, Wpc - tw - CLm - 3)])
+
+    integ, var, mom, length = temporal_accumulate_canvas_pallas(
+        gbuf, histC, rendC, (ry, cx), (Hg, Wg), params=params,
+        interpret=interpret)
+
+    def embed_cb(x):
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, th_pad - th),
+                                         (CLm, Wpc - tw - CLm)]
+        return jnp.pad(x, pad)
+
+    new_histC = jnp.pad(
+        jnp.concatenate([integ, mom, length[None],
+                         embed_cb(gbuf.depth[None]), embed_cb(gbuf.normal)]),
+        [(0, 0), (CH, CH), (0, 0)])
+    integ_ctr = integ[:, :th, CLm:CLm + tw]
+    var_ctr = var[:th, CLm:CLm + tw]
+    return integ_ctr, var_ctr, new_histC
 
 
 # ---------------------------------------------------------------------------
@@ -440,14 +596,15 @@ def temporal_accumulate_local(
 # custom VJP only maps canvas cotangents through the level kernel's adjoint.
 
 
-def _refresh_margins(x, M: int, th: int, tw: int, w: int,
-                     axes: Tuple[str, str] = ("y", "x")):
+def _refresh_margins_rl(x, Mr: int, Ml: int, th: int, tw: int, w: int,
+                        axes: Tuple[str, str] = ("y", "x")):
     """Overwrite the w-wide inner margin ring of a tile canvas with the
     neighbors' center edge bands (rows spanning all lanes first, then cols
     spanning all rows — the col pass reads the row pass's refreshed margins,
     so corners pick up the diagonal neighbor exactly like exchange_halo2d).
     Missing neighbors (global border) contribute zeros; the kernels' global
-    masks drop those taps anyway."""
+    masks drop those taps anyway.  ``Mr``/``Ml``: the canvas's row/lane
+    margin widths (center at rows [Mr, Mr+th), lanes [Ml, Ml+tw))."""
     if w == 0:
         return x
     from .halo import _axis_shift_perm
@@ -456,16 +613,22 @@ def _refresh_margins(x, M: int, th: int, tw: int, w: int,
         return lax.dynamic_update_slice_in_dim(v, band, start, axis=axis)
 
     rdim, cdim = x.ndim - 2, x.ndim - 1
-    from_n = lax.ppermute(lax.slice_in_dim(x, M + th - w, M + th, axis=rdim),
+    from_n = lax.ppermute(lax.slice_in_dim(x, Mr + th - w, Mr + th, axis=rdim),
                           axes[0], _axis_shift_perm(axes[0], 1))
-    from_s = lax.ppermute(lax.slice_in_dim(x, M, M + w, axis=rdim),
+    from_s = lax.ppermute(lax.slice_in_dim(x, Mr, Mr + w, axis=rdim),
                           axes[0], _axis_shift_perm(axes[0], -1))
-    x = upd(upd(x, from_n, M - w, rdim), from_s, M + th, rdim)
-    from_w = lax.ppermute(lax.slice_in_dim(x, M + tw - w, M + tw, axis=cdim),
+    x = upd(upd(x, from_n, Mr - w, rdim), from_s, Mr + th, rdim)
+    from_w = lax.ppermute(lax.slice_in_dim(x, Ml + tw - w, Ml + tw, axis=cdim),
                           axes[1], _axis_shift_perm(axes[1], 1))
-    from_e = lax.ppermute(lax.slice_in_dim(x, M, M + w, axis=cdim),
+    from_e = lax.ppermute(lax.slice_in_dim(x, Ml, Ml + w, axis=cdim),
                           axes[1], _axis_shift_perm(axes[1], -1))
-    return upd(upd(x, from_w, M - w, cdim), from_e, M + tw, cdim)
+    return upd(upd(x, from_w, Ml - w, cdim), from_e, Ml + tw, cdim)
+
+
+def _refresh_margins(x, M: int, th: int, tw: int, w: int,
+                     axes: Tuple[str, str] = ("y", "x")):
+    """Symmetric-margin refresh (see :func:`_refresh_margins_rl`)."""
+    return _refresh_margins_rl(x, M, M, th, tw, w, axes)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
@@ -746,15 +909,39 @@ def pipeline_local(
     )
 
     work = gbuf.replace(render=demodulate(gbuf.render, gbuf.albedo)) if demod else gbuf
-    integrated, variance, new_history = temporal_accumulate_local(
-        work, history, Hg, Wg, params=svgf_params, impl=temporal_impl,
-        interpret=interpret, motion_grad=motion_grad)
+    canvas = temporal_impl in ("pallas_ad_canvas", "pallas_canvas")
+    if temporal_impl == "pallas_canvas":
+        # history is the (10, CH+th_pad+CH, Wpc) canvas carry; fused
+        # inference kernel (no VJP)
+        integrated, variance, new_history = (
+            temporal_accumulate_canvas_fused_local(
+                work, history, Hg, Wg, params=svgf_params,
+                interpret=interpret))
+    elif canvas:
+        # history is the (10, CH+th_pad+CH, Wpc) canvas carry
+        integrated, variance, new_history = temporal_accumulate_canvas_local(
+            work, history, Hg, Wg, params=svgf_params, interpret=interpret,
+            motion_grad=motion_grad)
+    else:
+        integrated, variance, new_history = temporal_accumulate_local(
+            work, history, Hg, Wg, params=svgf_params, impl=temporal_impl,
+            interpret=interpret, motion_grad=motion_grad)
     filtered, _v, feedback = svgf_spatial_local(
         integrated, variance, gbuf.normal, gbuf.depth, Hg, Wg,
         params=svgf_params, return_feedback=True, impl=impl,
         interpret=interpret, weight_math=weight_math,
         bwd_impl=spatial_bwd_impl)
-    new_history = new_history.replace(color=feedback)
+    if canvas:
+        # SVGF's feedback plane replaces the history color: DUS into the
+        # canvas's center color planes (margins stay stale until the next
+        # frame's refresh)
+        from ..ops.pallas.temporal_tpu import hist_canvas_geometry
+
+        mh, CH, CLm = hist_canvas_geometry(th, tw, svgf_params)[:3]
+        new_history = lax.dynamic_update_slice(
+            new_history, feedback, (0, CH, CLm))
+    else:
+        new_history = new_history.replace(color=feedback)
     denoised = remodulate(filtered, gbuf.albedo) if demod else filtered
     return gbuf.replace(denoised=denoised), new_history
 
@@ -771,11 +958,22 @@ def make_sharded_pipeline(
 
     Scene/cameras/key are replicated; G-buffer planes and history are
     sharded P('y','x') on their trailing two axes.
+
+    ``temporal_impl="auto"`` on the kernel path selects the canvas-form
+    fused temporal step (``"pallas_canvas"``): the history carry is the
+    margin canvas from :func:`init_history_canvas`, and per-frame ICI
+    traffic drops to the mh-wide margin strips + a 3-wide render exchange.
+    Pass ``"pallas"`` for the full-exchange tile path (A/B measurement).
     """
+    if temporal_impl == "auto":
+        temporal_impl = "pallas_canvas" if impl == "pallas" else impl
     gb_specs = GBuffer(render=PLANES, albedo=PLANES, normal=PLANES,
                        depth=PLANE, motion=PLANES, denoised=PLANES)
-    hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
-                         prev_depth=PLANE, prev_normal=PLANES)
+    if temporal_impl in ("pallas_canvas", "pallas_ad_canvas"):
+        hist_specs = P(None, "y", "x")
+    else:
+        hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
+                             prev_depth=PLANE, prev_normal=PLANES)
 
     fn = functools.partial(
         pipeline_local, Hg=Hg, Wg=Wg, cam_cfg=cam_cfg,
@@ -815,9 +1013,13 @@ def make_sharded_train_step(
     losses, so the material gradient averages over ``data_size`` independent
     MC estimates per step.
 
-    ``temporal_impl="auto"`` picks the differentiable temporal kernel
-    (``"pallas_ad"``) whenever the spatial path runs kernels, else the jnp
-    oracle; both are end-to-end differentiable inside shard_map.
+    ``temporal_impl="auto"`` picks the canvas-form differentiable temporal
+    kernel (``"pallas_ad_canvas"``) whenever the spatial path runs kernels —
+    the history carry is then the margin-canvas from
+    :func:`init_history_canvas` (only mh-wide margins exchanged per frame)
+    — else the jnp oracle with a standard History carry; both are
+    end-to-end differentiable inside shard_map.  ``"pallas_ad"`` keeps the
+    full-exchange kernel path with a standard History (A/B measurement).
 
     ``spatial_bwd_impl="auto"`` selects the margin-writing stored-weight
     canvas adjoint (``"stored"``) on the kernel path — the VERDICT r3 #1
@@ -826,11 +1028,14 @@ def make_sharded_train_step(
     crop/pad recompute adjoint (A/B measurement).
     """
     if temporal_impl == "auto":
-        temporal_impl = "pallas_ad" if impl == "pallas" else "oracle"
+        temporal_impl = "pallas_ad_canvas" if impl == "pallas" else "oracle"
     if spatial_bwd_impl == "auto":
         spatial_bwd_impl = "stored" if impl == "pallas" else "recompute"
     nd = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
-    if nd > 1:
+    if temporal_impl == "pallas_ad_canvas":
+        hist_specs = (P("data", None, "y", "x") if nd > 1
+                      else P(None, "y", "x"))
+    elif nd > 1:
         hist_specs = History(
             color=P("data", None, "y", "x"),
             moments=P("data", None, "y", "x"),

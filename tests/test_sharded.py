@@ -284,19 +284,80 @@ def test_sharded_train_step_ad_temporal_kernel(rng):
 
 
 @pytest.mark.slow
+def test_temporal_canvas_two_frames_cross_tile_motion(rng):
+    """Canvas-form temporal carry across frames: frame 1 writes a canvas
+    with STALE margins; frame 2's margin refresh must pull the neighbors'
+    frame-1 centers before the gather, so reprojection across tile borders
+    (motion up to max_motion) matches the single-device oracle on both
+    frames."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+    from raymarchdenoisercuda_tpu.gbuffer import GBuffer, History
+    from raymarchdenoisercuda_tpu.ops.temporal import temporal_accumulate
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        hist_canvas_geometry)
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_canvas_local, init_history_canvas,
+        PLANE, PLANES)
+
+    H = W = 48
+    params = SVGFParams(max_motion=4)
+    mesh = make_mesh(4)
+    th, tw = H // 2, W // 2
+    mh, CH, CLm = hist_canvas_geometry(th, tw, params)[:3]
+
+    def frame(seed, mag):
+        color, variance, normal, depth = _scene(rng, H, W)
+        motion = jnp.asarray(
+            (2.0 * np.random.default_rng(seed).random((2, H, W)) - 1.0)
+            .astype(np.float32) * mag)
+        return GBuffer(render=color, albedo=None, normal=normal, depth=depth,
+                       motion=motion)
+
+    g1 = frame(1, 3.5)
+    g2 = frame(2, 3.9).replace(normal=g1.normal, depth=g1.depth)
+
+    # oracle: two standard temporal steps
+    h = History.zeros(H, W)
+    i1o, v1o, h = temporal_accumulate(g1, h, params=params)
+    i2o, v2o, _ = temporal_accumulate(g2, h, params=params)
+
+    def local(c1, m1, c2, m2, nn, d, histC):
+        gb1 = GBuffer(render=c1, albedo=None, normal=nn, depth=d, motion=m1)
+        gb2 = GBuffer(render=c2, albedo=None, normal=nn, depth=d, motion=m2)
+        _, _, histC = temporal_accumulate_canvas_local(
+            gb1, histC, H, W, params=params, interpret=True)
+        i2, v2, _ = temporal_accumulate_canvas_local(
+            gb2, histC, H, W, params=params, interpret=True)
+        return i2, v2
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(PLANES, PLANES, PLANES, PLANES, PLANES, PLANE,
+                             Pspec(None, "y", "x")),
+                   out_specs=(PLANES, PLANE), check_vma=False)
+    i2c, v2c = fn(g1.render, g1.motion, g2.render, g2.motion,
+                  g1.normal, g1.depth, init_history_canvas(mesh, H, W, params))
+    np.testing.assert_allclose(np.asarray(i2c), np.asarray(i2o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2c), np.asarray(v2o),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_train_step_full_kernel_path(rng):
     """make_sharded_train_step(impl="pallas"): the complete kernel training
-    route — Pallas raymarch, differentiable temporal kernel, chained spatial
-    sweep with the margin-writing STORED adjoint (spatial_bwd_impl="auto" ->
-    "stored") — runs an optimizer step with finite loss and matches the
-    oracle-path step's gradient direction."""
+    route — Pallas raymarch, canvas-form differentiable temporal kernel
+    (history carried as a margin canvas; temporal_impl="auto" ->
+    "pallas_ad_canvas"), chained spatial sweep with the margin-writing
+    STORED adjoint — runs TWO optimizer steps (step 2 consumes the canvas
+    carry written by step 1, exercising the cross-frame margin refresh) with
+    losses matching the oracle-path steps."""
     import optax
     from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
     from raymarchdenoisercuda_tpu.gbuffer import History
     from raymarchdenoisercuda_tpu.ops.raymarch import (cornell_scene,
                                                        cornell_camera)
     from raymarchdenoisercuda_tpu.parallel.sharded import (
-        make_sharded_train_step)
+        make_sharded_train_step, init_history_canvas)
 
     H = W = 32
     mesh = make_mesh(4)
@@ -307,21 +368,25 @@ def test_sharded_train_step_full_kernel_path(rng):
     target = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
     optimizer = optax.sgd(0.0)  # lr 0: compare gradients via loss, not drift
 
-    def one_step(**kw):
+    def two_steps(**kw):
         step = make_sharded_train_step(
             mesh, scene, cornell_camera(), target, optimizer,
             cam_cfg=cfg, rm_params=rm, svgf_params=sv, interpret=True, **kw)
         albedo = scene.materials.albedo
-        hist = History.zeros(H, W)
+        hist = (init_history_canvas(mesh, H, W, sv)
+                if kw.get("impl") == "pallas" else History.zeros(H, W))
         key = jax.random.PRNGKey(0)
-        _, _, _, _, loss = step(albedo, optimizer.init(albedo), hist, key)
-        return float(loss)
+        albedo, ost, hist, key, loss1 = step(albedo, optimizer.init(albedo),
+                                             hist, key)
+        _, _, _, _, loss2 = step(albedo, ost, hist, key)
+        return float(loss1), float(loss2)
 
-    loss_k = one_step(impl="pallas")
-    loss_o = one_step(impl="oracle")
-    assert np.isfinite(loss_k)
+    lk1, lk2 = two_steps(impl="pallas")
+    lo1, lo2 = two_steps(impl="oracle")
+    assert np.isfinite(lk1) and np.isfinite(lk2)
     # same MC keys + bit-compatible pipelines: losses agree closely
-    assert abs(loss_k - loss_o) < 5e-4 * max(abs(loss_o), 1e-6), (loss_k, loss_o)
+    assert abs(lk1 - lo1) < 5e-4 * max(abs(lo1), 1e-6), (lk1, lo1)
+    assert abs(lk2 - lo2) < 5e-4 * max(abs(lo2), 1e-6), (lk2, lo2)
 
 
 @pytest.mark.slow
@@ -367,22 +432,31 @@ def test_sharded_pipeline_kernel_route_matches_oracle(rng):
     from raymarchdenoisercuda_tpu.ops.raymarch import (cornell_scene,
                                                        cornell_camera)
     from raymarchdenoisercuda_tpu.parallel.sharded import (
-        make_sharded_pipeline)
+        make_sharded_pipeline, init_history_canvas)
 
     H = W = 32
     mesh = make_mesh(4)
+    sv = SVGFParams(iterations=2, max_motion=3)
     kw = dict(cam_cfg=CameraParams(width=W, height=H),
               rm_params=RaymarchParams(max_steps=16, shadow_steps=8),
-              svgf_params=SVGFParams(iterations=2, max_motion=3))
+              svgf_params=sv)
     f_o = make_sharded_pipeline(mesh, H, W, impl="oracle", **kw)
+    # "auto" on the kernel path = the canvas-form fused temporal step; the
+    # full-exchange tile path keeps coverage via the A/B below
     f_p = make_sharded_pipeline(mesh, H, W, impl="pallas", interpret=True,
                                 **kw)
+    f_p2 = make_sharded_pipeline(mesh, H, W, impl="pallas", interpret=True,
+                                 temporal_impl="pallas", **kw)
     scene, cam = cornell_scene(), cornell_camera()
     key = jax.random.PRNGKey(0)
-    ho = hp = History.zeros(H, W)
+    ho = hp2 = History.zeros(H, W)
+    hp = init_history_canvas(mesh, H, W, sv)
     for _ in range(2):   # frame 2 exercises reprojection through history
         go, ho = f_o(scene, cam, cam, ho, key)
         gp, hp = f_p(scene, cam, cam, hp, key)
+        gp2, hp2 = f_p2(scene, cam, cam, hp2, key)
     do, dp = np.asarray(go.denoised), np.asarray(gp.denoised)
+    dp2 = np.asarray(gp2.denoised)
     assert np.isfinite(dp).all()
     assert np.abs(do - dp).max() < 2e-3
+    assert np.abs(do - dp2).max() < 2e-3

@@ -83,15 +83,15 @@ def probe_pipeline(H, W, iterations):
         return f
 
     mesh = _mesh11()
+    from raymarchdenoisercuda_tpu.parallel.sharded import init_history_canvas
     frame = make_sharded_pipeline(mesh, H, W, cam_cfg=cam_cfg, rm_params=rm,
                                   svgf_params=svgf, impl="pallas",
                                   weight_math="fast")
+    hist0 = init_history_canvas(mesh, H, W, svgf)
 
     def make_sharded(n):
         @jax.jit
         def f(key):
-            hist = History.zeros(H, W)
-
             def body(i, carry):
                 hist, key, acc = carry
                 key, sub = jr.split(key)
@@ -99,8 +99,8 @@ def probe_pipeline(H, W, iterations):
                 return (hist, key, acc + jnp.sum(g.denoised))
 
             hist, _, acc = jax.lax.fori_loop(0, n, body,
-                                             (hist, key, jnp.float32(0.0)))
-            return jnp.sum(hist.color) + acc
+                                             (hist0, key, jnp.float32(0.0)))
+            return jnp.sum(hist) + acc
         return f
 
     mpix = H * W / 1e6
@@ -157,7 +157,9 @@ def probe_train(H, W, iterations):
                                      svgf_params=svgf, impl="pallas")
     albedo0 = scene.materials.albedo
     opt0 = opt.init(albedo0)
-    hist0 = History.zeros(H, W)
+    # the kernel train path carries the temporal history as a margin canvas
+    from raymarchdenoisercuda_tpu.parallel.sharded import init_history_canvas
+    hist0 = init_history_canvas(mesh, H, W, svgf)
 
     def make_sharded(n):
         @jax.jit
