@@ -171,7 +171,8 @@ def probe_train(H, W, iterations):
                 return (albedo, opt_state, hist, key, acc + loss)
             albedo, _, hist, _, acc = jax.lax.fori_loop(
                 0, n, body, (albedo0, opt0, hist0, key, jnp.float32(0.0)))
-            return jnp.sum(albedo) + jnp.sum(hist.color) + acc
+            # hist is the canvas carry (a single array)
+            return jnp.sum(albedo) + jnp.sum(hist) + acc
         return f
 
     mpix = H * W / 1e6
@@ -215,6 +216,13 @@ def probe_temporal(H, W):
         return (jnp.sum(integ ** 2) + jnp.sum(var)
                 + jnp.sum(nh.color) + jnp.sum(nh.moments))
 
+    def loss_un_nomg(c, h):
+        # the training configuration: dh-only adjoint (motion_grad=False)
+        integ, var, nh = temporal_accumulate_pallas_ad(
+            gb.replace(render=c), h, params=params, motion_grad=False)
+        return (jnp.sum(integ ** 2) + jnp.sum(var)
+                + jnp.sum(nh.color) + jnp.sum(nh.moments))
+
     mesh = _mesh11()
     hist_specs = History(color=PLANES, moments=PLANES, length=PLANE,
                          prev_depth=PLANE, prev_normal=PLANES)
@@ -232,6 +240,40 @@ def probe_temporal(H, W):
                         in_specs=(PLANES, hist_specs),
                         out_specs=REPL, check_vma=False)
 
+    # canvas-form sharded temporal (the train step's route): history carried
+    # as a margin canvas; dh-only adjoint (training config)
+    from jax.sharding import PartitionSpec as _P
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        temporal_accumulate_canvas_local, init_history_canvas)
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        hist_canvas_geometry)
+    histC0 = init_history_canvas(mesh, H, W, params)
+    geomc = hist_canvas_geometry(H, W, params)
+    mh_c, CH_c, CLm_c = geomc[:3]
+
+    def to_canvas(h, histC):
+        stack = jnp.concatenate([h.color, h.moments, h.length[None],
+                                 h.prev_depth[None], h.prev_normal])
+        return jax.lax.dynamic_update_slice(histC, stack, (0, CH_c, CLm_c))
+
+    # build the canvas ONCE outside the timed chain (steady-state cost is
+    # refresh + gather + epilogue + embed, not the initial conversion)
+    histC0 = shard_map(to_canvas, mesh=mesh,
+                       in_specs=(hist_specs, _P(None, "y", "x")),
+                       out_specs=_P(None, "y", "x"), check_vma=False)(
+                           hist, histC0)
+
+    def local_loss_canvas(c, histC):
+        integ, var, histC2 = temporal_accumulate_canvas_local(
+            gb.replace(render=c), histC, H, W, params=params,
+            motion_grad=False)
+        s = jnp.sum(integ ** 2) + jnp.sum(var) + jnp.sum(histC2[0:5])
+        return jax.lax.psum(jax.lax.psum(s, "y"), "x")
+
+    sh_loss_canvas = shard_map(local_loss_canvas, mesh=mesh,
+                               in_specs=(PLANES, _P(None, "y", "x")),
+                               out_specs=REPL, check_vma=False)
+
     def make_chain(loss):
         def mk(n):
             @jax.jit
@@ -247,7 +289,10 @@ def probe_temporal(H, W):
 
     mpix = H * W / 1e6
     for name, loss in [("temporal_unsharded", loss_un),
-                       ("temporal_sharded", lambda c, h: sh_loss(c, h))]:
+                       ("temporal_un_nomg", loss_un_nomg),
+                       ("temporal_sharded", lambda c, h: sh_loss(c, h)),
+                       ("temporal_sh_canvas",
+                        lambda c, h: sh_loss_canvas(c, histC0))]:
         dt = _chain_time(make_chain(loss), color, n_lo=2, n_hi=8)
         print(f"{name:18s} {dt * 1e3:7.2f} ms  {mpix / dt:8.1f} Mpix/s",
               flush=True)
@@ -305,19 +350,61 @@ def main():
             return run
         return mk
 
+    # fwd+bwd variants (the training configuration): unsharded stored-bf16
+    # adjoint vs the sharded margin-writing stored adjoint
+    def make_unsharded_grad(n):
+        @jax.jit
+        def run(c):
+            def loss(cc):
+                oc, ov = svgf_spatial_pallas(cc, variance, normal, depth,
+                                             params=params)
+                return jnp.sum(oc ** 2) + jnp.sum(ov)
+
+            def body(_, cc):
+                return jax.grad(loss)(cc)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, c))
+        return run
+
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        svgf_spatial_local, PLANE as _PL, PLANES as _PLS)
+    from jax import shard_map as _shard_map
+
+    def make_sharded_grad(n):
+        fn = _shard_map(
+            lambda c, v, nn, d: svgf_spatial_local(
+                c, v, nn, d, H, W, params=params, impl="pallas",
+                bwd_impl="stored"),
+            mesh=mesh, in_specs=(_PLS, _PL, _PLS, _PL),
+            out_specs=(_PLS, _PL), check_vma=False)
+
+        @jax.jit
+        def run(c):
+            def loss(cc):
+                oc, ov = fn(cc, variance, normal, depth)
+                return jnp.sum(oc ** 2) + jnp.sum(ov)
+
+            def body(_, cc):
+                return jax.grad(loss)(cc)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, c))
+        return run
+
     mpix = H * W / 1e6
     results = {}
     for name, mk in [("unsharded", make_unsharded),
                      ("sharded_chained", make_sharded("pallas")),
-                     ("sharded_levels", make_sharded("pallas_levels"))]:
+                     ("sharded_levels", make_sharded("pallas_levels")),
+                     ("unsharded_fwdbwd", make_unsharded_grad),
+                     ("sharded_fwdbwd", make_sharded_grad)]:
         dt = _chain_time(mk, color, n_lo=2, n_hi=10)
         results[name] = dt
         print(f"{name:18s} {dt * 1e3:7.2f} ms  {mpix / dt:8.1f} Mpix/s",
               flush=True)
     ovh_chained = results["sharded_chained"] / results["unsharded"] - 1
     ovh_levels = results["sharded_levels"] / results["unsharded"] - 1
+    ovh_grad = results["sharded_fwdbwd"] / results["unsharded_fwdbwd"] - 1
     print(f"overhead: chained {ovh_chained * 100:+.1f}%  "
-          f"per-level {ovh_levels * 100:+.1f}%")
+          f"per-level {ovh_levels * 100:+.1f}%  "
+          f"fwd+bwd(stored) {ovh_grad * 100:+.1f}%")
 
 
 if __name__ == "__main__":
