@@ -72,14 +72,15 @@ def _chain_time(make_fn, x, n_lo=3, n_hi=18, reps=5):
 
 def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
                        precision="f32", bwd_impl="stored",
-                       weight_math="exact", radius=2):
+                       weight_math="exact", radius=2, luma_only_from=None):
     """North-star config: SVGF fwd+bwd at 1080p, 5 levels."""
     import functools
     import jax
     import jax.numpy as jnp
     from raymarchdenoisercuda_tpu.config import SVGFParams
 
-    params = SVGFParams(iterations=iterations, radius=radius)
+    params = SVGFParams(iterations=iterations, radius=radius,
+                        luma_only_from=luma_only_from)
     color, variance, normal, depth = _scene_inputs(H, W)
 
     if impl == "pallas":
@@ -389,25 +390,39 @@ def main():
                     help="à-trous tap radius (fwd_bwd config; r1 is the "
                          "quality-validated headline mode, r2 the classic "
                          "SVGF 5×5 B3 kernel)")
+    # luminance-only weights at levels >= 3 (the deeply dilated taps):
+    # quality-gated at 256²/1024-spp — r1+luma3 measures 29.40 dB PSNR
+    # (above both full-weight baselines) / 0.9800 SSIM (−0.0026), at +4%
+    # throughput.  --luma-from -1 disables.
+    ap.add_argument("--luma-from", type=int, default=3,
+                    help="drop depth/normal weights at levels >= this "
+                         "(fwd_bwd config; -1 = full weights everywhere)")
     args = ap.parse_args()
+    luma_from = None if args.luma_from < 0 else args.luma_from
 
     extra = {}
     if args.config == "fwd_bwd_1080p":
         # Measure the ride-along modes in the SAME process (same chip epoch,
         # so the set is apples-to-apples; see _chain_time note).  Headline is
-        # the --radius/--wmath mode; the others ride along in the JSON line.
+        # the --radius/--wmath/--luma-from mode; the others ride along in
+        # the JSON line.
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats,
                                        precision=args.precision,
                                        bwd_impl=args.bwd,
                                        weight_math=args.wmath,
-                                       radius=args.radius)
+                                       radius=args.radius,
+                                       luma_only_from=luma_from)
         if args.radius == 1:
-            for tag, r, wm_ in (("r2_fast", 2, "fast"), ("r2_exact", 2,
-                                                         "exact")):
+            ride = [("r1_full", 1, "fast", None), ("r2_fast", 2, "fast", None),
+                    ("r2_exact", 2, "exact", None)]
+            if luma_from is None:
+                ride = ride[1:]
+            for tag, r, wm_, lf in ride:
                 v_o, _ = bench_svgf_fwd_bwd(repeats=args.repeats,
                                             precision=args.precision,
                                             bwd_impl=args.bwd,
-                                            weight_math=wm_, radius=r)
+                                            weight_math=wm_, radius=r,
+                                            luma_only_from=lf)
                 extra[f"{tag}_mpix_s"] = round(v_o, 2)
         else:
             other = "exact" if args.wmath == "fast" else "fast"
@@ -418,7 +433,9 @@ def main():
             extra[f"{other}_mpix_s"] = round(value_o, 2)
         wm = "" if args.wmath == "exact" else " fastw"
         rtag = "" if args.radius == 2 else f" r{args.radius}"
-        metric = f"SVGF fwd+bwd 5-iter 1080p (pallas {args.precision}{wm}{rtag})"
+        ltag = "" if luma_from is None else f" lq{luma_from}"
+        metric = (f"SVGF fwd+bwd 5-iter 1080p "
+                  f"(pallas {args.precision}{wm}{rtag}{ltag})")
     elif args.config == "fwd_1080p":
         value, dt = bench_svgf_fwd(repeats=args.repeats,
                                    precision=args.precision)

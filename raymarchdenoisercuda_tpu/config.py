@@ -89,6 +89,12 @@ class SVGFParams:
     # are ~100x slower); larger motion counts as disocclusion.  None = exact
     # gather-based reprojection for unbounded motion.
     max_motion: Optional[int] = 6
+    # Cheaper-filter study (round 4): levels >= luma_only_from drop the
+    # depth/normal edge-stopping terms and filter with the luminance weight
+    # alone (the deeply-dilated taps' geometry tests matter least there).
+    # None = full weights everywhere (default).  Quality-gate any use with
+    # tools/denoise_quality.py.
+    luma_only_from: Optional[int] = None
 
     def __post_init__(self):
         if self.iterations < 1:

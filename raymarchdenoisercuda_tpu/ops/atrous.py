@@ -112,26 +112,32 @@ def atrous_level_ref(
     num_v = jnp.zeros_like(variance)
     den = jnp.zeros_like(variance)
 
+    luma_only = (params.luma_only_from is not None
+                 and level >= params.luma_only_from)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             oy, ox = dy * spacing, dx * spacing
             h = taps1d[dy + r] * taps1d[dx + r]
             m = valid_mask(H, W, oy, ox, depth.dtype)
 
-            z_q = shift2d(depth, oy, ox)
-            n_q = shift2d(normal, oy, ox)
             l_q = shift2d(lum_w, oy, ox)
-
-            # depth: |∇z·(p−q)| along the (dilated) offset
-            dz_denom = params.sigma_depth * jnp.abs(zgrad[0] * oy + zgrad[1] * ox) + _EPS
-            wz_exp = -jnp.abs(depth - z_q) / dz_denom
             # luminance
             wl_exp = -jnp.abs(lum_w - l_q) / sigma_l_denom
-            # normal
-            ndot = jnp.maximum(jnp.sum(normal * n_q, axis=0), 0.0)
-            wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
-
-            w = h * m * jnp.exp(wz_exp + wl_exp) * wn
+            if luma_only:
+                # cheaper-filter mode: deep dilated levels drop the
+                # depth/normal terms (quality-gated, see SVGFParams)
+                w = h * m * jnp.exp(wl_exp)
+            else:
+                z_q = shift2d(depth, oy, ox)
+                n_q = shift2d(normal, oy, ox)
+                # depth: |∇z·(p−q)| along the (dilated) offset
+                dz_denom = params.sigma_depth * jnp.abs(
+                    zgrad[0] * oy + zgrad[1] * ox) + _EPS
+                wz_exp = -jnp.abs(depth - z_q) / dz_denom
+                # normal
+                ndot = jnp.maximum(jnp.sum(normal * n_q, axis=0), 0.0)
+                wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
+                w = h * m * jnp.exp(wz_exp + wl_exp) * wn
             if detach_weights:
                 w = jax.lax.stop_gradient(w)
 

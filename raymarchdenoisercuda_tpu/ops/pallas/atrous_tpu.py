@@ -175,7 +175,7 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                        dtype=jnp.float32, with_origin: bool = False,
                        row_base: int = 0, out_margin: int = None,
                        w_dtype=jnp.float32, fast_weights: bool = False,
-                       fuse_isd: bool = False):
+                       fuse_isd: bool = False, luma_only: bool = False):
     """Build the fwd or bwd kernel body for one à-trous level.
 
     Kernel refs: ``n_hbm`` haloed HBM inputs, then (fwd) zgrad + inv-sigma
@@ -410,8 +410,14 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             return
 
         if mode == "fwd":
-            color_t, normal_t, depth_t, var_t = tiles
-            zg = zgrad_ref[:]        # (2, TH, W) center rows
+            if luma_only:
+                # cheaper-filter deep-level mode: depth/normal planes are
+                # neither staged nor read (SVGFParams.luma_only_from)
+                color_t, var_t = tiles
+                normal_t = depth_t = None
+            else:
+                color_t, normal_t, depth_t, var_t = tiles
+                zg = zgrad_ref[:]        # (2, TH, W) center rows
             if not fuse_isd:
                 isd2_c = isd2_ref[:]  # log2e / sigma_denom, center rows
             # Luminance over the whole haloed band once (per-tap l_q becomes
@@ -426,8 +432,9 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
             (lum_t, normal_t, depth_t, isd2_t, zgrad_t, u_t, u2_t) = tiles
 
         lum_c = _rows(lum_t, C, TH)
-        n_c = _rows(normal_t, C, TH)
-        z_c = _rows(depth_t, C, TH)
+        if normal_t is not None:
+            n_c = _rows(normal_t, C, TH)
+            z_c = _rows(depth_t, C, TH)
 
         # Validity masks factor into 5 row masks x 5 col masks (the tap mask
         # is their product) instead of 4 int compares per tap.  Out-of-image
@@ -575,13 +582,17 @@ def _make_level_kernel(H: int, W: int, TH: int, halo_pad: int, spacing: int,
                 if mode == "fwd":
                     c_q = shifted(color_t, oy, ox)
                     v_q = shifted(var_t, oy, ox)
-                    n_q = shifted(normal_t, oy, ox)
-                    z_q = shifted(depth_t, oy, ox)
                     l_q = shifted(lum_t, oy, ox)
-
-                    wz2 = -jnp.abs(z_c - z_q) * rz_fwd(oy, ox)
                     wl2 = -jnp.abs(lum_c - l_q) * isd2_c
-                    w = edge_weight(wz2, wl2, n_c, n_q, hfm)
+                    if luma_only:
+                        ex = _exp2_fast3(wl2) if fast_weights else (
+                            _exp2_fast(wl2))
+                        w = hfm * ex
+                    else:
+                        n_q = shifted(normal_t, oy, ox)
+                        z_q = shifted(depth_t, oy, ox)
+                        wz2 = -jnp.abs(z_c - z_q) * rz_fwd(oy, ox)
+                        w = edge_weight(wz2, wl2, n_c, n_q, hfm)
                     if save_w:
                         # residual for the stored-weight backward kernel
                         k = (dy + r) * (2 * r + 1) + (dx + r)
@@ -1085,6 +1096,13 @@ def svgf_spatial_pallas(
         # the recompute adjoint re-derives weights with the exact math; its
         # transposed stencil would not match a fast-weights forward
         raise ValueError("weight_math='fast' requires a stored bwd_impl")
+    if params.luma_only_from is not None and (
+            bwd_impl == "recompute" or not chained or weight_grads
+            or precision != "f32"):
+        # the stored adjoint is weight-agnostic, so the luma-only mode needs
+        # no backward changes — but only on the chained stored path
+        raise ValueError("luma_only_from requires the chained f32 "
+                         "detached path with a stored bwd_impl")
     on_chained = (chained and not weight_grads and precision == "f32"
                   and params.iterations > 0)
     if weight_math == "fast" and not on_chained:
@@ -1705,12 +1723,13 @@ def _chain_tiles(H: int, Wp: int, params: SVGFParams,
 
 @functools.partial(jax.jit, static_argnames=(
     "level", "params", "TH", "margin", "bounds", "interpret", "save_w_dtype",
-    "fast_weights"))
+    "fast_weights", "luma_only"))
 def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
                             *, level: int, params: SVGFParams, TH: int,
                             margin: int, bounds: Tuple[int, int],
                             interpret: bool = False, save_w_dtype=None,
-                            fast_weights: bool = False, origin=None):
+                            fast_weights: bool = False, origin=None,
+                            luma_only: bool = False):
     """One forward level, canvas in / canvas out.  Returns (colorC', varC',
     normC) canvases — plus, with ``save_w_dtype`` set, the (n_taps, CH, Wp)
     stored-weight canvas the stored backward consumes (bf16 storage halves
@@ -1737,12 +1756,15 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
     fuse_isd = isd2_cb is None
     n_taps = (2 * params.radius + 1) ** 2
     with_origin = origin is not None
+    n_hbm = 2 if luma_only else 4
     kernel = _make_level_kernel(H, W, TH, halo_pad, spacing, params, "fwd",
-                                n_hbm=4, Wp=Wp, row_base=margin - halo_pad,
+                                n_hbm=n_hbm, Wp=Wp,
+                                row_base=margin - halo_pad,
                                 out_margin=margin, save_w=save_w,
                                 w_dtype=save_w_dtype,
                                 fast_weights=fast_weights,
-                                fuse_isd=fuse_isd, with_origin=with_origin)
+                                fuse_isd=fuse_isd, with_origin=with_origin,
+                                luma_only=luma_only)
     sds = jax.ShapeDtypeStruct
     n_out = 4 if save_w else 3
     out_shape = [sds((3, CH, Wp), jnp.float32),
@@ -1753,8 +1775,13 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
         out_shape.append(sds((n_taps, CH, Wp), save_w_dtype))
         w_tiles = [pltpu.VMEM((2, n_taps, TH, Wp), save_w_dtype)]
         w_zeros = [pltpu.VMEM((n_taps, margin, Wp), save_w_dtype)]
-    in_specs = [_hbm_spec()] * 4 + [_center_spec(2, TH, Wp)]
-    args = (colorC, normalC, depthC, varC, zgrad_cb)
+    in_specs = [_hbm_spec()] * n_hbm + [_center_spec(2, TH, Wp)]
+    if luma_only:
+        args = (colorC, varC, zgrad_cb)
+        plane_dims = (3, None)
+    else:
+        args = (colorC, normalC, depthC, varC, zgrad_cb)
+        plane_dims = (3, 3, None, None)
     if not fuse_isd:
         in_specs.append(_center_spec(None, TH, Wp))
         args = args + (isd2_cb,)
@@ -1767,8 +1794,8 @@ def atrous_level_fwd_canvas(colorC, varC, normalC, depthC, zgrad_cb, isd2_cb,
         in_specs=in_specs,
         out_specs=(_hbm_spec(),) * n_out,
         out_shape=tuple(out_shape),
-        scratch_shapes=_scratch_tiles((3, 3, None, None), BLK, Wp)
-        + [pltpu.SemaphoreType.DMA((2, 4))]
+        scratch_shapes=_scratch_tiles(plane_dims, BLK, Wp)
+        + [pltpu.SemaphoreType.DMA((2, n_hbm))]
         + [pltpu.VMEM((2, 3, TH, Wp), jnp.float32),
            pltpu.VMEM((2, TH, Wp), jnp.float32),
            pltpu.VMEM((2, TH, Wp), jnp.float32)]
@@ -1923,7 +1950,9 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
             cC, vC, normalC, depthC, zgrad_cb, isd2_cb,
             level=lvl, params=params, TH=th_f, margin=M, bounds=bounds,
             interpret=interpret, save_w_dtype=save_w_dtype,
-            fast_weights=weight_math == "fast")
+            fast_weights=weight_math == "fast",
+            luma_only=(params.luma_only_from is not None
+                       and lvl >= params.luma_only_from))
         cC_next, vC_next, nC = outs[:3]
         if save_w_dtype is not None:
             lvl_res.append((outs[3], nC))

@@ -166,6 +166,10 @@ def svgf_spatial_local(
     oracle path.
     """
     th, tw = depth.shape
+    if params.luma_only_from is not None:
+        raise NotImplementedError(
+            "luma_only_from is implemented on the unsharded chained stored "
+            "path only (the headline mode); unset it for sharded runs")
     if impl == "pallas":
         hmax = params.radius << max(params.iterations - 1, 0)
         if hmax <= min(th, tw):

@@ -153,6 +153,47 @@ def test_radius1_mode_parity(rng, wmath, ftol):
                                rtol=0, atol=2e-3 * scale)
 
 
+@pytest.mark.parametrize("radius", [1, 2])
+def test_luma_only_deep_levels_parity(rng, radius):
+    """SVGFParams.luma_only_from (cheaper-filter study, VERDICT r3 #2b):
+    levels >= the threshold drop the depth/normal edge-stopping terms.
+    The Pallas chained stored path must match the jnp oracle's mode, and
+    gradients carry through the weight-agnostic stored adjoint."""
+    color, variance, normal, depth = _scene(rng)
+    params = SVGFParams(iterations=5, radius=radius, luma_only_from=3)
+    want_c, want_v = svgf_spatial_ref(
+        color, variance, normal, depth, params=params, detach_weights=True)
+    got_c, got_v = svgf_spatial_pallas(
+        color, variance, normal, depth, params=params, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=5e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=5e-5, atol=1e-6)
+
+    def loss_oracle(c):
+        oc, _ = svgf_spatial_ref(c, variance, normal, depth, params=params,
+                                 detach_weights=True)
+        return jnp.sum(oc ** 2)
+
+    def loss_pallas(c):
+        oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params,
+                                    interpret=True)
+        return jnp.sum(oc ** 2)
+
+    g_w = jax.grad(loss_oracle)(color)
+    g_g = jax.grad(loss_pallas)(color)
+    scale = float(jnp.abs(g_w).max())
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                               rtol=0, atol=2e-3 * scale)
+
+    # the mode is live: deep levels actually change the output
+    base_c, _ = svgf_spatial_ref(color, variance, normal, depth,
+                                 params=SVGFParams(iterations=5,
+                                                   radius=radius),
+                                 detach_weights=True)
+    assert float(jnp.abs(want_c - base_c).max()) > 1e-3
+
+
 @pytest.mark.slow
 def test_bf16_mode_quality_and_gradients():
     """bf16 kernel mode (staged planes + tap math in bfloat16, f32

@@ -55,3 +55,17 @@ def test_denoiser_quality_radius1_mode(quality_r1):
     within 0.05 dB of the radius-2 baseline at this size."""
     assert quality_r1["psnr_gain_db"] > 2.2, quality_r1
     assert quality_r1["output_ssim"] > 0.96, quality_r1
+
+
+def test_denoiser_quality_r1_luma3_mode():
+    """The headline r1 + luma-only-deep-levels mode: measured +3.15 dB
+    (above the full-weight baselines — the geometry terms over-restrict
+    deep-level smoothing on this scene) / 0.9616 SSIM; floors leave the
+    usual drift margin.  TPU-config numbers (29.40 dB / 0.9800 at 256²):
+    ROADMAP round-4 findings."""
+    from denoise_quality import run_eval
+
+    q = run_eval(size=160, frames=8, spp_ref=256, warmup=3,
+                 impl="reference", iterations=5, radius=1, luma_only_from=3)
+    assert q["psnr_gain_db"] > 2.6, q
+    assert q["output_ssim"] > 0.95, q

@@ -354,3 +354,145 @@ def test_march_normals_fused_compiled(rng):
     np.testing.assert_allclose(np.asarray(a.render), np.asarray(b.render),
                                atol=5e-3)
     np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+
+def test_radius1_mode_compiled(rng):
+    """The round-4 headline mode (radius-1, 5 iterations, fast weights)
+    compiled on hardware: fwd vs the oracle at fast-weight tolerance,
+    stored-bf16 gradients at quantization tolerance."""
+    from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import (
+        svgf_spatial_pallas)
+
+    H, W = 240, 512
+    color, variance, normal, depth = _scene(rng, H, W)
+    params = SVGFParams(iterations=5, radius=1)
+    want_c, _ = svgf_spatial_ref(color, variance, normal, depth,
+                                 params=params, detach_weights=True)
+    got_c, _ = svgf_spatial_pallas(color, variance, normal, depth,
+                                   params=params, weight_math="fast")
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=5e-4, atol=1e-4)
+
+    def loss_oracle(c):
+        oc, _ = svgf_spatial_ref(c, variance, normal, depth, params=params,
+                                 detach_weights=True)
+        return jnp.sum(oc ** 2)
+
+    def loss_pallas(c):
+        oc, _ = svgf_spatial_pallas(c, variance, normal, depth, params=params,
+                                    weight_math="fast")
+        return jnp.sum(oc ** 2)
+
+    g_w = np.asarray(jax.grad(loss_oracle)(color))
+    g_g = np.asarray(jax.grad(loss_pallas)(color))
+    assert np.abs(g_g - g_w).max() / (np.abs(g_w).max() + 1e-30) < 3e-3
+
+
+def test_shadow_shade_fused_compiled(rng):
+    """Fused shadow+shading+motion kernel compiled on hardware: G-buffer
+    planes match the XLA shading path, and material-albedo gradients match
+    through the XLA-recompute VJP."""
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.ops.raymarch import (
+        cornell_scene, cornell_camera, render_gbuffer)
+
+    scene = cornell_scene()
+    cfg = CameraParams(width=256, height=192)
+    rm = RaymarchParams(max_steps=48, shadow_steps=24)
+    key = jax.random.PRNGKey(3)
+    cam = cornell_camera()
+    a = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm,
+                       impl="pallas", normal_impl="pallas", shade_impl="xla")
+    b = render_gbuffer(scene, cam, cam, key, cam_cfg=cfg, params=rm,
+                       impl="pallas", normal_impl="pallas",
+                       shade_impl="pallas")
+    for name in ["render", "albedo", "normal", "depth", "motion"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            atol=2e-4, err_msg=name)
+
+    def loss(alb, shade_impl):
+        sc = scene.replace(materials=scene.materials.replace(albedo=alb))
+        g = render_gbuffer(sc, cam, cam, key, cam_cfg=cfg, params=rm,
+                           impl="pallas", normal_impl="pallas",
+                           shade_impl=shade_impl)
+        return jnp.sum(g.render ** 2)
+
+    ga = np.asarray(jax.grad(loss)(scene.materials.albedo, "xla"))
+    gb_ = np.asarray(jax.grad(loss)(scene.materials.albedo, "pallas"))
+    assert np.abs(gb_ - ga).max() / (np.abs(ga).max() + 1e-30) < 1e-4
+
+
+def test_canvas_gather_compiled(rng):
+    """Canvas-form tent gather + margin-writing adjoint compiled on
+    hardware: matches the plain gather's values and history gradients on
+    the canvas's center region."""
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        _reproject_gather, _reproject_gather_canvas, hist_canvas_geometry)
+
+    th, tw = 120, 248
+    params = SVGFParams()
+    geom = hist_canvas_geometry(th, tw, params)
+    mh, CH, CLm, Wpc, TH, th_pad, TH_b = geom
+    hist = jnp.asarray(rng.random((10, th, tw), dtype=np.float32))
+    motion = jnp.asarray(
+        (2.0 * rng.random((2, th, tw)) - 1.0).astype(np.float32) * 4.0)
+    histC = jnp.pad(hist, [(0, 0), (CH, CH + th_pad - th),
+                           (CLm, Wpc - tw - CLm)])
+    motionB = jnp.pad(motion, [(0, 0), (2 * CH, 2 * CH + th_pad - th),
+                               (CLm, Wpc - tw - CLm)])
+    wt = jnp.asarray(rng.random((10, th, tw), dtype=np.float32))
+
+    def loss_plain(h):
+        g = _reproject_gather(h, motion, params, False, False)
+        return jnp.sum(wt * g), g
+
+    def loss_canvas(hC):
+        g = _reproject_gather_canvas(hC, motionB, params, geom, False, False)
+        return jnp.sum(wt * g[:, :th, CLm:CLm + tw]), g
+
+    (l_p, g_p), d_p = jax.value_and_grad(loss_plain, has_aux=True)(hist)
+    (l_c, g_c), d_c = jax.value_and_grad(loss_canvas, has_aux=True)(histC)
+    np.testing.assert_allclose(
+        np.asarray(g_c[:, :th, CLm:CLm + tw]), np.asarray(g_p),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d_c[:, CH:CH + th, CLm:CLm + tw]), np.asarray(d_p),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_stored_bwd_compiled(rng):
+    """Margin-writing stored-weight canvas adjoint compiled on a 1-device
+    mesh: gradients match the oracle within the bf16 weight quantization."""
+    from jax.sharding import Mesh
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        svgf_spatial_local)
+
+    H, W = 128, 256
+    color, variance, normal, depth = _scene(rng, H, W)
+    params = SVGFParams(iterations=3)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                ("data", "y", "x"))
+    PL = Pspec("y", "x")
+    PLS = Pspec(None, "y", "x")
+    fn = shard_map(
+        lambda c, v, n, d: svgf_spatial_local(
+            c, v, n, d, H, W, params=params, impl="pallas",
+            bwd_impl="stored"),
+        mesh=mesh, in_specs=(PLS, PL, PLS, PL), out_specs=(PLS, PL),
+        check_vma=False)
+
+    def loss_ref(c):
+        oc, ov = svgf_spatial_ref(c, variance, normal, depth, params=params,
+                                  detach_weights=True)
+        return jnp.sum(oc ** 2) + jnp.sum(ov)
+
+    def loss_shard(c):
+        oc, ov = fn(c, variance, normal, depth)
+        return jnp.sum(oc ** 2) + jnp.sum(ov)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(color))
+    g_shard = np.asarray(jax.grad(loss_shard)(color))
+    assert np.abs(g_shard - g_ref).max() / (np.abs(g_ref).max() + 1e-30) < 3e-3

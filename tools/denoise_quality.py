@@ -62,7 +62,8 @@ def ssim(a, b, peak=1.0, win=7):
 
 
 def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
-             iterations=5, radius=2, weight_math="exact"):
+             iterations=5, radius=2, weight_math="exact",
+             luma_only_from=None):
     """Returns the metric dict (shared with tests/test_quality.py).
 
     ``radius``/``iterations``/``weight_math`` parametrize the spatial filter
@@ -78,7 +79,8 @@ def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
 
     cam_cfg = CameraParams(width=size, height=size)
     rm = RaymarchParams()
-    sv = SVGFParams(iterations=iterations, radius=radius)
+    sv = SVGFParams(iterations=iterations, radius=radius,
+                luma_only_from=luma_only_from)
     scene = cornell_scene()
     if impl is None:
         impl = ("pallas" if jax.devices()[0].platform in ("tpu", "axon")
@@ -127,13 +129,15 @@ def main():
     ap.add_argument("--spp-ref", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--radius", type=int, default=2)
+    ap.add_argument("--luma-from", type=int, default=None)
     ap.add_argument("--wmath", default="exact", choices=["exact", "fast"])
     ap.add_argument("--impl", default=None, choices=[None, "pallas", "reference"])
     args = ap.parse_args()
     print(json.dumps(run_eval(size=args.size, frames=args.frames,
                               spp_ref=args.spp_ref, impl=args.impl,
                               iterations=args.iters, radius=args.radius,
-                              weight_math=args.wmath)))
+                              weight_math=args.wmath,
+                              luma_only_from=args.luma_from)))
 
 
 if __name__ == "__main__":
