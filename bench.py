@@ -288,7 +288,7 @@ def bench_seq(H=512, W=512, iterations=5):
     return H * W / dt / 1e6, dt
 
 
-def bench_train(H=1080, W=1920, iterations=5):
+def bench_train(H=1080, W=1920, iterations=5, radius=2, luma_only_from=None):
     """BASELINE config 4, measured end to end at 1080p on the kernel path:
     raymarch (Pallas, implicit-function VJP) -> temporal (differentiable
     Pallas tent gather + hand-written adjoint) -> SVGF (Pallas, stored-weight
@@ -312,7 +312,8 @@ def bench_train(H=1080, W=1920, iterations=5):
         scene, cam, target, opt,
         cam_cfg=CameraParams(width=W, height=H),
         rm_params=RaymarchParams(),
-        svgf_params=SVGFParams(iterations=iterations),
+        svgf_params=SVGFParams(iterations=iterations, radius=radius,
+                               luma_only_from=luma_only_from),
         impl="pallas")
     state0 = init_train_state(scene.materials.albedo, opt, H, W,
                               jax.random.PRNGKey(0))
@@ -453,9 +454,18 @@ def main():
         metric = (f"raymarch+temporal+SVGF frame 1080p "
                   f"({args.precision}{wm}{rtag})")
     elif args.config == "train_1080p":
-        value, dt = bench_train()
+        # the shared --radius/--luma-from flags apply: the default trains
+        # with the quality-gated cheap filter modes (metric name carries
+        # the tags); --radius 2 restores the classic config for
+        # round-over-round comparison
+        value, dt = bench_train(radius=args.radius,
+                                luma_only_from=(luma_from if args.radius == 1
+                                                else None))
         extra["ms_per_step"] = round(dt * 1e3, 2)
-        metric = "train step 1080p (pallas, ad-temporal)"
+        rtag = "" if args.radius == 2 else f" r{args.radius}"
+        ltag = ("" if (luma_from is None or args.radius != 1)
+                else f" lq{luma_from}")
+        metric = f"train step 1080p (pallas, ad-temporal{rtag}{ltag})"
     elif args.config == "seq_512":
         value, dt = bench_seq()
         extra["ms_per_frame"] = round(dt * 1e3, 2)

@@ -20,8 +20,23 @@ if os.environ.get("RDT_TEST_PLATFORM") != "tpu":
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the unrolled stencil graphs are compile-heavy;
-# cache across pytest processes so only the first-ever run pays.
-jax.config.update("jax_compilation_cache_dir", "/tmp/rdt_jax_cache")
+# cache across pytest processes so only the first-ever run pays.  The CPU
+# suite gets its OWN cache dir keyed by the host's CPU feature set: XLA:CPU
+# AOT executables are feature-specific, and loading one produced by a
+# different machine (e.g. a previous round's container) can SEGFAULT — the
+# TPU cache (/tmp/rdt_jax_cache) must not mix with CPU entries.
+if os.environ.get("RDT_TEST_PLATFORM") == "tpu":
+    _cache_dir = "/tmp/rdt_jax_cache"
+else:
+    import hashlib
+
+    try:
+        _flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
+    except Exception:
+        _flags = "unknown"
+    _tag = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+    _cache_dir = f"/tmp/rdt_jax_cache_cpu_{_tag}"
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 

@@ -21,9 +21,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/rdt_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+# Respect an already-configured cache (pytest's conftest uses a per-machine
+# CPU cache dir): redirecting it here at import time used to mix XLA:CPU AOT
+# executables into the shared TPU cache — loading one compiled for different
+# host CPU features SEGFAULTS (observed in the round-4 full suite).
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rdt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import jax.numpy as jnp
 import numpy as np
