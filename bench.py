@@ -110,14 +110,15 @@ def bench_svgf_fwd_bwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
 
 
 def bench_svgf_fwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
-                   precision="f32"):
+                   precision="f32", radius=2, luma_only_from=None):
     """Forward-only SVGF, chain-slope timed (ROADMAP measurement discipline:
     per-call block_until_ready through the tunnel has 40-80 ms jitter)."""
     import jax
     import jax.numpy as jnp
     from raymarchdenoisercuda_tpu.config import SVGFParams
 
-    params = SVGFParams(iterations=iterations)
+    params = SVGFParams(iterations=iterations, radius=radius,
+                        luma_only_from=luma_only_from)
     color, variance, normal, depth = _scene_inputs(H, W)
     import functools
     if impl == "pallas":
@@ -439,8 +440,12 @@ def main():
                   f"(pallas {args.precision}{wm}{rtag}{ltag})")
     elif args.config == "fwd_1080p":
         value, dt = bench_svgf_fwd(repeats=args.repeats,
-                                   precision=args.precision)
-        metric = f"SVGF fwd 5-iter 1080p (pallas {args.precision})"
+                                   precision=args.precision,
+                                   radius=args.radius,
+                                   luma_only_from=luma_from)
+        rtag = "" if args.radius == 2 else f" r{args.radius}"
+        ltag = "" if luma_from is None else f" lq{luma_from}"
+        metric = f"SVGF fwd 5-iter 1080p (pallas {args.precision}{rtag}{ltag})"
     elif args.config == "fwd_bwd_1080p_ref":
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats, impl="reference")
         metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"
