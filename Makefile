@@ -19,8 +19,14 @@ all: native test
 native:
 	$(PY) native/build.py
 
+# -n 2 (pytest-xdist): two worker processes.  Besides the ~2x wall-time win,
+# this bounds per-process XLA:CPU compilation count — a single long pytest
+# process on this host segfaults inside XLA:CPU compile/load after ~150
+# compiled executables (jax targets CPU features the host lacks: see the
+# "Machine type used for XLA:CPU compilation doesn't match" warnings); every
+# test passes in shorter-lived processes.
 test:
-	$(PY) -m pytest tests/ -q --ignore=tests/test_tpu_hw.py
+	$(PY) -m pytest tests/ -q --ignore=tests/test_tpu_hw.py -n 2
 
 # quick iteration signal: skips the long interpret-mode sweeps and sequence
 # tests (marked @pytest.mark.slow) while keeping one representative of every
