@@ -185,7 +185,7 @@ def bench_raymarch(H=1080, W=1920, repeats=5, impl=None):
 
 
 def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
-                   weight_math="fast", radius=2):
+                   weight_math="fast", radius=2, luma_only_from=None):
     """BASELINE config 3: fused raymarch + G-buffer -> temporal -> SVGF per
     frame (fwd path, animated camera), measured as a frame chain (the
     temporal history is the natural dependency).  Fast tap weights are on
@@ -201,7 +201,8 @@ def bench_pipeline(H=1080, W=1920, iterations=5, spp=1, precision="f32",
 
     cam_cfg = CameraParams(width=W, height=H)
     rm = RaymarchParams()
-    svgf = SVGFParams(iterations=iterations, radius=radius)
+    svgf = SVGFParams(iterations=iterations, radius=radius,
+                      luma_only_from=luma_only_from)
     scene = cornell_scene()
     cam = cornell_camera()
     platform = jax.devices()[0].platform
@@ -450,14 +451,19 @@ def main():
         value, dt = bench_svgf_fwd_bwd(repeats=args.repeats, impl="reference")
         metric = "SVGF fwd+bwd 5-iter 1080p (XLA oracle)"
     elif args.config == "pipeline_1080p":
+        # the shared --luma-from flag applies on the r1 path (round-5
+        # verdict #6: config 3 uses the adopted quality-gated modes)
+        lf_pipe = luma_from if args.radius == 1 else None
         value, dt = bench_pipeline(precision=args.precision,
                                    weight_math=args.wmath,
-                                   radius=args.radius)
+                                   radius=args.radius,
+                                   luma_only_from=lf_pipe)
         extra["ms_per_frame"] = round(dt * 1e3, 2)
         wm = "" if args.wmath == "exact" else " fastw"
         rtag = "" if args.radius == 2 else f" r{args.radius}"
+        ltag = "" if lf_pipe is None else f" lq{lf_pipe}"
         metric = (f"raymarch+temporal+SVGF frame 1080p "
-                  f"({args.precision}{wm}{rtag})")
+                  f"({args.precision}{wm}{rtag}{ltag})")
     elif args.config == "train_1080p":
         # the shared --radius/--luma-from flags apply: the default trains
         # with the quality-gated cheap filter modes (metric name carries
@@ -483,7 +489,6 @@ def main():
                   if _plat in ("tpu", "axon") else "raymarch+gbuffer 1080p")
 
     base = _baseline_value()
-    vs = value / base if base else 1.0
     if args.csv:
         with open(args.csv, "a") as f:
             f.write(f"{metric}|{value:.3f}|{dt*1e3:.3f}\n")
@@ -491,8 +496,18 @@ def main():
         "metric": "Mpixels/s/chip " + metric,
         "value": round(value, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(vs, 3),
     }
+    # vs_baseline must compare like-with-like (round-4 verdict weak #5):
+    # BENCH_r01's 152.18 ran the classic radius-2 EXACT-weight filter (the
+    # fast tap-weight mode only landed in round 2 — ROADMAP progression), so
+    # when the headline runs a cheaper mode the ratio is derived from the
+    # r2-exact ride-along measured in the same process; the headline-vs-r01
+    # cross-mode ratio rides along separately as vs_baseline_headline.
+    if base and "r2_exact_mpix_s" in extra:
+        out["vs_baseline"] = round(extra["r2_exact_mpix_s"] / base, 3)
+        out["vs_baseline_headline"] = round(value / base, 3)
+    else:
+        out["vs_baseline"] = round(value / base, 3) if base else 1.0
     out.update(extra)
     print(json.dumps(out))
 

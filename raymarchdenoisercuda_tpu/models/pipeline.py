@@ -52,7 +52,11 @@ def render_and_denoise(
     the normal chain in the backward only)."""
     rm_impl = "pallas" if impl == "pallas" else "jnp"
     if normal_impl == "auto":
-        normal_impl = "pallas" if rm_impl == "pallas" else "xla"
+        # the fused march+normal kernel is differentiable on the UN-seeded
+        # path only (ADVICE r4): with coarse_seed the auto resolution keeps
+        # the XLA normal pass so training through cone-seeded configs works
+        normal_impl = ("pallas" if rm_impl == "pallas"
+                       and not rm_params.coarse_seed else "xla")
     gbuf = render_gbuffer(scene, camera, prev_camera, key,
                           cam_cfg=cam_cfg, params=rm_params, spp=spp,
                           impl=rm_impl, normal_impl=normal_impl)

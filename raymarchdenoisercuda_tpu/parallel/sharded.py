@@ -76,6 +76,8 @@ def atrous_level_local(
     num_v = jnp.zeros_like(z_c)
     den = jnp.zeros_like(z_c)
 
+    luma_only = (params.luma_only_from is not None
+                 and level >= params.luma_only_from)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             oy, ox = dy * spacing, dx * spacing
@@ -83,20 +85,27 @@ def atrous_level_local(
             m = ((gy + oy >= 0) & (gy + oy < Hg)
                  & (gx + ox >= 0) & (gx + ox < Wg)).astype(z_c.dtype)
 
-            z_q = _rows_cols(depth_p, oy, ox, th, tw, h)
-            n_q = _rows_cols(normal_p, oy, ox, th, tw, h)
             l_q = _rows_cols(lum_p_full, oy, ox, th, tw, h)
             c_q = _rows_cols(color_p, oy, ox, th, tw, h)
             v_q = _rows_cols(var_p, oy, ox, th, tw, h)
 
-            dz_den = params.sigma_depth * jnp.abs(zgrad[0] * oy + zgrad[1] * ox) + _EPS
-            wz = -jnp.abs(z_c - z_q) / dz_den
             wl = -jnp.abs(lum_c - l_q) / sden_c
-            ndot = jnp.maximum(jnp.sum(n_c * n_q, axis=0), 0.0)
-            wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
+            if luma_only:
+                # cheaper-filter deep-level mode (SVGFParams.luma_only_from):
+                # mirror of ops.atrous.atrous_level_ref's luma branch
+                w = hw * m * jnp.exp(wl)
+            else:
+                z_q = _rows_cols(depth_p, oy, ox, th, tw, h)
+                n_q = _rows_cols(normal_p, oy, ox, th, tw, h)
+                dz_den = params.sigma_depth * jnp.abs(
+                    zgrad[0] * oy + zgrad[1] * ox) + _EPS
+                wz = -jnp.abs(z_c - z_q) / dz_den
+                ndot = jnp.maximum(jnp.sum(n_c * n_q, axis=0), 0.0)
+                wn = jnp.power(jnp.maximum(ndot, 1e-20), params.sigma_normal)
+                w = hw * m * jnp.exp(wz + wl) * wn
             # detached weights: matches the oracle's detach_weights=True and
             # the Pallas custom-VJP semantics (linear-combination adjoint)
-            w = lax.stop_gradient(hw * m * jnp.exp(wz + wl) * wn)
+            w = lax.stop_gradient(w)
 
             num_c = num_c + w[None] * c_q
             num_v = num_v + (w * w) * v_q
@@ -152,7 +161,7 @@ def svgf_spatial_local(
     Hg: int, Wg: int,
     *, params: SVGFParams, return_feedback: bool = False,
     impl: str = "oracle", interpret: bool = False,
-    weight_math: str = "exact", bwd_impl: str = "recompute",
+    weight_math: str = "exact", bwd_impl: str = "auto",
 ):
     """Multi-level à-trous on local tiles (call inside shard_map).
 
@@ -166,10 +175,11 @@ def svgf_spatial_local(
     oracle path.
     """
     th, tw = depth.shape
-    if params.luma_only_from is not None:
-        raise NotImplementedError(
-            "luma_only_from is implemented on the unsharded chained stored "
-            "path only (the headline mode); unset it for sharded runs")
+    if bwd_impl == "auto":
+        # the luma-only headline mode needs the weight-agnostic stored
+        # adjoint; the classic modes keep the recompute default
+        bwd_impl = ("stored" if params.luma_only_from is not None
+                    else "recompute")
     if impl == "pallas":
         hmax = params.radius << max(params.iterations - 1, 0)
         if hmax <= min(th, tw):
@@ -178,6 +188,15 @@ def svgf_spatial_local(
                 return_feedback=return_feedback, interpret=interpret,
                 weight_math=weight_math, bwd_impl=bwd_impl)
         impl = "pallas_levels"
+    if params.luma_only_from is not None and impl == "pallas_levels":
+        # the per-level tile kernels (the multi-hop halo>tile fallback) have
+        # no luma-only fwd/bwd pair; the headline mode runs on the chained
+        # stored path (round-5 verdict #1) and the oracle path
+        raise NotImplementedError(
+            "luma_only_from on the sharded path requires the canvas-chained "
+            "kernels (deepest halo <= tile; here halo "
+            f"{params.radius << max(params.iterations - 1, 0)} > tile "
+            f"({th}, {tw})) or impl='oracle'")
     ry, cx = tile_origin((th, tw))
     zgrad = _zgrad_local(depth, ry, cx, Hg, Wg)
     c, v = color, variance
@@ -456,6 +475,14 @@ def init_history_canvas(mesh: Mesh, Hg: int, Wg: int, params: SVGFParams,
     when ``data > 1``)."""
     ny = mesh.shape["y"]
     nx = mesh.shape["x"]
+    if Hg % ny or Wg % nx:
+        # floor division would silently build a wrong-size canvas that only
+        # fails with a shape error deep inside the kernels (ADVICE r4)
+        raise ValueError(
+            f"canvas-form temporal history requires a mesh-divisible global "
+            f"shape: ({Hg}, {Wg}) does not tile over the ({ny}, {nx}) "
+            f"('y','x') mesh — pad the image or use a History carry "
+            f"(temporal_impl='pallas_ad'/'oracle')")
     _, rows, cols = hist_canvas_shape(Hg // ny, Wg // nx, params)
     shape = (10, ny * rows, nx * cols)
     if data > 1:
@@ -673,11 +700,14 @@ def _canvas_level_fwd(cC, vC, normalC, depthC, zgrad_cb, isd2_cb, sden_t,
 
     M, th, tw, TH, TH_b = geo
     ry, cx = origin
+    luma_only = (params.luma_only_from is not None
+                 and level >= params.luma_only_from)
     outs = atrous_level_fwd_canvas(
         cC, vC, normalC, depthC, zgrad_cb, isd2_cb,
         level=level, params=params, TH=TH, margin=M, bounds=bounds,
         interpret=interpret, origin=(ry, cx - M), fast_weights=fast_weights,
-        save_w_dtype=jnp.bfloat16 if bwd_impl == "stored" else None)
+        save_w_dtype=jnp.bfloat16 if bwd_impl == "stored" else None,
+        luma_only=luma_only)
     cC2, vC2, nC = outs[:3]
     if bwd_impl == "stored":
         res = (outs[3], nC, origin)
@@ -710,6 +740,10 @@ def _canvas_level_bwd(level, params, geo, bounds, interpret, fast_weights,
 
     from ..ops.pallas.atrous_tpu import atrous_level_bwd_pallas
 
+    # the recompute adjoint re-derives FULL edge-stopping weights; luma-only
+    # levels must take the weight-agnostic stored branch above
+    assert (params.luma_only_from is None
+            or level < params.luma_only_from), "luma_only needs bwd 'stored'"
     cC, normalC, depthC, zgrad_cb, sden_t, nC, origin = res
     h = params.radius << level
     ry, cx = origin
@@ -768,6 +802,13 @@ def svgf_spatial_chained_local(
                                          _round_up, _LOG2E)
 
     stored = bwd_impl == "stored"
+    if params.luma_only_from is not None and not stored:
+        # the stored adjoint is weight-agnostic so the luma-only mode needs
+        # no backward changes; the recompute adjoint re-derives FULL weights
+        # and would not match a luma-only forward (round-5 verdict #1)
+        raise ValueError(
+            "luma_only_from on the sharded chained path requires "
+            "bwd_impl='stored'")
     th, tw = depth.shape
     ry, cx = tile_origin((th, tw))
     M = _chain_margin(params)
@@ -879,7 +920,7 @@ def pipeline_local(
     svgf_params: SVGFParams, spp: int = 1, demod: bool = True,
     impl: str = "oracle", temporal_impl: str = "auto",
     interpret: bool = False, weight_math: str = "exact",
-    normal_impl: str = "xla", spatial_bwd_impl: str = "recompute",
+    normal_impl: str = "xla", spatial_bwd_impl: str = "auto",
     motion_grad: bool = True,
 ):
     """Per-device frame pipeline (call inside shard_map).
@@ -895,6 +936,13 @@ def pipeline_local(
     """
     if temporal_impl == "auto":
         temporal_impl = impl
+    if spatial_bwd_impl == "auto":
+        # luma-only levels need the weight-agnostic stored adjoint (and the
+        # stored forward, which fuses the σ-denominator); the classic modes
+        # keep the recompute default, matching the measured round-4 numbers
+        spatial_bwd_impl = ("stored" if impl == "pallas"
+                            and svgf_params.luma_only_from is not None
+                            else "recompute")
     from ..ops.raymarch import render_gbuffer_window
     from ..models.svgf import demodulate, remodulate
 
@@ -950,6 +998,24 @@ def pipeline_local(
     return gbuf.replace(denoised=denoised), new_history
 
 
+def _check_history_carry(history, temporal_impl: str):
+    """Targeted error for the History-pytree vs margin-canvas carry mismatch
+    (ADVICE r4): the canvas temporal paths carry history as a (10, CH+th_pad+
+    CH, Wpc) array, so a ``History`` pytree would otherwise die as an opaque
+    shard_map in_specs structure mismatch."""
+    canvas = temporal_impl in ("pallas_canvas", "pallas_ad_canvas")
+    if canvas and isinstance(history, History):
+        raise TypeError(
+            f"temporal_impl={temporal_impl!r} carries the temporal history "
+            f"as a margin CANVAS array, but a History pytree was passed — "
+            f"build the carry with init_history_canvas(mesh, Hg, Wg, params)")
+    if not canvas and not isinstance(history, History):
+        raise TypeError(
+            f"temporal_impl={temporal_impl!r} expects a History pytree "
+            f"carry, got {type(history).__name__} — use History.zeros(H, W) "
+            f"(init_history_canvas is for the canvas-form kernel paths)")
+
+
 def make_sharded_pipeline(
     mesh: Mesh, Hg: int, Wg: int,
     *, cam_cfg: CameraParams, rm_params: RaymarchParams,
@@ -993,7 +1059,13 @@ def make_sharded_pipeline(
         out_specs=(gb_specs, hist_specs),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def run(scene, camera, prev_camera, history, key):
+        _check_history_carry(history, temporal_impl)
+        return jitted(scene, camera, prev_camera, history, key)
+
+    return run
 
 
 def make_sharded_train_step(
@@ -1065,9 +1137,11 @@ def make_sharded_train_step(
             # material-only optimization: motion gradient provably dead ->
             # dh-only temporal adjoint (exact, ~half the adjoint cost)
             motion_grad=False,
-            # the fused march+normal kernel is differentiable (round 4):
-            # training also saves the XLA sdf_normal forward pass
-            normal_impl="pallas" if impl == "pallas" else "xla")
+            # the fused march+normal kernel is differentiable (round 4) on
+            # the UN-seeded path only (ADVICE r4): training also saves the
+            # XLA sdf_normal forward pass unless the config cone-seeds
+            normal_impl=("pallas" if impl == "pallas"
+                         and not rm_params.coarse_seed else "xla"))
         # mean over the full image = psum of tile sums / global pixel count
         sse = jnp.sum((out.denoised - target_tile) ** 2)
         loss = lax.psum(lax.psum(sse, "y"), "x") / (3 * target.shape[-2] * target.shape[-1])
@@ -1084,7 +1158,7 @@ def make_sharded_train_step(
     )
 
     @jax.jit
-    def train_step(albedo, opt_state, history, key):
+    def _train_step(albedo, opt_state, history, key):
         key, sub = jax.random.split(key)
         (loss, new_hist), grads = jax.value_and_grad(
             sharded_loss, has_aux=True)(albedo, history, sub, target)
@@ -1092,5 +1166,9 @@ def make_sharded_train_step(
         import optax
         albedo = jnp.clip(optax.apply_updates(albedo, updates), 0.0, 1.0)
         return albedo, opt_state, new_hist, key, loss
+
+    def train_step(albedo, opt_state, history, key):
+        _check_history_carry(history, temporal_impl)
+        return _train_step(albedo, opt_state, history, key)
 
     return train_step

@@ -245,6 +245,138 @@ def test_sharded_stored_bwd_matches_oracle(rng, n_dev, iters):
                                    rtol=0, atol=1.5e-3 * scale, err_msg=name)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_headline_mode_r1_lq3(rng, n_dev):
+    """Round-5 verdict #1: the quality-gated HEADLINE filter mode (radius-1
+    taps + luminance-only weights at levels >= 3, the bench default) runs on
+    the sharded canvas-chained path with the margin-writing stored adjoint —
+    forward parity vs the single-device oracle, gradients within the bf16
+    stored-weight quantization, halos routed over the refresh transposes."""
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        svgf_spatial_local, PLANE, PLANES)
+
+    H = W = 64
+    color, variance, normal, depth = _scene(rng, H, W)
+    params = SVGFParams(iterations=5, radius=1, luma_only_from=3)
+    mesh = make_mesh(n_dev)
+
+    def run(c, v):
+        fn = shard_map(
+            lambda c, v, n, d: svgf_spatial_local(
+                c, v, n, d, H, W, params=params, impl="pallas",
+                interpret=True, bwd_impl="stored"),
+            mesh=mesh, in_specs=(PLANES, PLANE, PLANES, PLANE),
+            out_specs=(PLANES, PLANE), check_vma=False)
+        return fn(c, v, normal, depth)
+
+    want_c, want_v = svgf_spatial_ref(color, variance, normal, depth,
+                                      params=params, detach_weights=True)
+    got_c, got_v = run(color, variance)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=5e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=5e-5, atol=1e-5)
+
+    def loss_ref(c, v):
+        oc, ov = svgf_spatial_ref(c, v, normal, depth, params=params,
+                                  detach_weights=True)
+        return jnp.sum(oc ** 2) + jnp.sum(ov)
+
+    def loss_st(c, v):
+        oc, ov = run(c, v)
+        return jnp.sum(oc ** 2) + jnp.sum(ov)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(color, variance)
+    g_st = jax.grad(loss_st, argnums=(0, 1))(color, variance)
+    for name, a, b in zip(["d_color", "d_variance"], g_ref, g_st):
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1.5e-3 * scale, err_msg=name)
+
+
+def test_sharded_oracle_luma_mode_matches_ref(rng):
+    """The sharded ORACLE path also runs luma_only_from (tile-local mirror of
+    atrous_level_ref's luma branch + global masks)."""
+    color, variance, normal, depth = _scene(rng, 64, 64)
+    params = SVGFParams(iterations=5, radius=1, luma_only_from=3)
+    want_c, want_v = svgf_spatial_ref(color, variance, normal, depth,
+                                      params=params, detach_weights=True)
+    mesh = make_mesh(8)
+    got_c, got_v = svgf_spatial_sharded(color, variance, normal, depth,
+                                        mesh=mesh, params=params)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=5e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=5e-5, atol=1e-6)
+
+
+def test_sharded_luma_mode_guards(rng):
+    """luma_only_from raises loudly where unsupported: the per-level
+    multi-hop (halo>tile) kernel fallback and the recompute chained adjoint."""
+    from jax import shard_map
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        svgf_spatial_local, svgf_spatial_chained_local, PLANE, PLANES)
+
+    H = W = 32  # 8-dev mesh -> 16x8 tiles; r1i5 halo 16 > 8 -> multi-hop
+    color, variance, normal, depth = _scene(rng, H, W)
+    params = SVGFParams(iterations=5, radius=1, luma_only_from=3)
+    mesh = make_mesh(8)
+
+    def run_levels(c):
+        fn = shard_map(
+            lambda c, v, n, d: svgf_spatial_local(
+                c, v, n, d, H, W, params=params, impl="pallas",
+                interpret=True),
+            mesh=mesh, in_specs=(PLANES, PLANE, PLANES, PLANE),
+            out_specs=(PLANES, PLANE), check_vma=False)
+        return fn(c, variance, normal, depth)
+
+    with pytest.raises(NotImplementedError, match="luma_only_from"):
+        run_levels(color)
+
+    def run_recompute(c):
+        fn = shard_map(
+            lambda c, v, n, d: svgf_spatial_chained_local(
+                c, v, n, d, 64, 64, params=params, interpret=True,
+                bwd_impl="recompute"),
+            mesh=make_mesh(4), in_specs=(PLANES, PLANE, PLANES, PLANE),
+            out_specs=(PLANES, PLANE), check_vma=False)
+        c64 = jnp.tile(c, (1, 2, 2))
+        return fn(c64, jnp.tile(variance, (2, 2)),
+                  jnp.tile(normal, (1, 2, 2)), jnp.tile(depth, (2, 2)))
+
+    with pytest.raises(ValueError, match="bwd_impl='stored'"):
+        run_recompute(color)
+
+
+def test_history_carry_type_errors(rng):
+    """ADVICE r4: canvas-form pipelines reject a History pytree carry with a
+    targeted message (not an opaque shard_map in_specs mismatch), and
+    init_history_canvas rejects non-mesh-divisible global shapes."""
+    from raymarchdenoisercuda_tpu.config import CameraParams, RaymarchParams
+    from raymarchdenoisercuda_tpu.gbuffer import History
+    from raymarchdenoisercuda_tpu.parallel.sharded import (
+        make_sharded_pipeline, init_history_canvas)
+
+    H = W = 32
+    mesh = make_mesh(4)
+    sv = SVGFParams(iterations=2, max_motion=3)
+    f_p = make_sharded_pipeline(
+        mesh, H, W, impl="pallas", interpret=True,
+        cam_cfg=CameraParams(width=W, height=H),
+        rm_params=RaymarchParams(max_steps=8, shadow_steps=4),
+        svgf_params=sv)
+    from raymarchdenoisercuda_tpu.ops.raymarch import (cornell_scene,
+                                                       cornell_camera)
+    scene, cam = cornell_scene(), cornell_camera()
+    with pytest.raises(TypeError, match="init_history_canvas"):
+        f_p(scene, cam, cam, History.zeros(H, W), jax.random.PRNGKey(0))
+
+    with pytest.raises(ValueError, match="mesh-divisible"):
+        init_history_canvas(mesh, 33, 32, sv)
+
+
 @pytest.mark.slow
 def test_sharded_train_step_ad_temporal_kernel(rng):
     """make_sharded_train_step(temporal_impl="pallas_ad"): one optimizer step

@@ -43,7 +43,7 @@ def _mesh11():
                 ("data", "y", "x"))
 
 
-def probe_pipeline(H, W, iterations):
+def probe_pipeline(H, W, iterations, radius=2, luma_from=None):
     """Full frame pipeline (raymarch -> temporal -> SVGF), sharded 1x1 mesh
     vs unsharded, one process."""
     import jax.random as jr
@@ -57,7 +57,8 @@ def probe_pipeline(H, W, iterations):
 
     cam_cfg = CameraParams(width=W, height=H)
     rm = RaymarchParams()
-    svgf = SVGFParams(iterations=iterations)
+    svgf = SVGFParams(iterations=iterations, radius=radius,
+                      luma_only_from=luma_from)
     scene = cornell_scene()
     cam = cornell_camera()
 
@@ -111,7 +112,7 @@ def probe_pipeline(H, W, iterations):
               flush=True)
 
 
-def probe_train(H, W, iterations):
+def probe_train(H, W, iterations, radius=2, luma_from=None):
     """Full train step (render -> ad-temporal -> SVGF -> material grads ->
     adam), sharded 1x1 mesh vs unsharded, one process."""
     import optax
@@ -132,7 +133,8 @@ def probe_train(H, W, iterations):
     opt = optax.adam(1e-2)
     cam_cfg = CameraParams(width=W, height=H)
     rm = RaymarchParams()
-    svgf = SVGFParams(iterations=iterations)
+    svgf = SVGFParams(iterations=iterations, radius=radius,
+                      luma_only_from=luma_from)
 
     step_u = make_train_step(scene, cam, target, opt, cam_cfg=cam_cfg,
                              rm_params=rm, svgf_params=svgf, impl="pallas")
@@ -304,18 +306,25 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--mode", default="spatial",
                     choices=["spatial", "pipeline", "train", "temporal"])
+    # headline filter mode (round-5 verdict #1: measure the sharded
+    # overheads IN the headline mode): --radius 1 --luma-from 3
+    ap.add_argument("--radius", type=int, default=2, choices=[1, 2])
+    ap.add_argument("--luma-from", type=int, default=-1,
+                    help="luma-only weights at levels >= this (-1 = off)")
     args = ap.parse_args()
+    luma_from = None if args.luma_from < 0 else args.luma_from
     if args.mode != "spatial":
         H, W = (1080, 1920) if args.size == "1080p" else (512, 512)
         if args.mode == "pipeline":
-            probe_pipeline(H, W, args.iters)
+            probe_pipeline(H, W, args.iters, args.radius, luma_from)
         elif args.mode == "temporal":
             probe_temporal(H, W)
         else:
-            probe_train(H, W, args.iters)
+            probe_train(H, W, args.iters, args.radius, luma_from)
         return
     H, W = (1080, 1920) if args.size == "1080p" else (512, 512)
-    params = SVGFParams(iterations=args.iters)
+    params = SVGFParams(iterations=args.iters, radius=args.radius,
+                        luma_only_from=luma_from)
     rng = np.random.default_rng(0)
     color, variance, normal, depth = _scene(rng, H, W)
 
@@ -390,21 +399,28 @@ def main():
 
     mpix = H * W / 1e6
     results = {}
-    for name, mk in [("unsharded", make_unsharded),
-                     ("sharded_chained", make_sharded("pallas")),
-                     ("sharded_levels", make_sharded("pallas_levels")),
-                     ("unsharded_fwdbwd", make_unsharded_grad),
-                     ("sharded_fwdbwd", make_sharded_grad)]:
+    variants = [("unsharded", make_unsharded),
+                ("sharded_chained", make_sharded("pallas")),
+                ("sharded_levels", make_sharded("pallas_levels")),
+                ("unsharded_fwdbwd", make_unsharded_grad),
+                ("sharded_fwdbwd", make_sharded_grad)]
+    if luma_from is not None:
+        # the per-level multi-hop path has no luma-only kernels (loud
+        # NotImplementedError) — headline-mode probes skip it
+        variants = [v for v in variants if v[0] != "sharded_levels"]
+    for name, mk in variants:
         dt = _chain_time(mk, color, n_lo=2, n_hi=10)
         results[name] = dt
         print(f"{name:18s} {dt * 1e3:7.2f} ms  {mpix / dt:8.1f} Mpix/s",
               flush=True)
     ovh_chained = results["sharded_chained"] / results["unsharded"] - 1
-    ovh_levels = results["sharded_levels"] / results["unsharded"] - 1
     ovh_grad = results["sharded_fwdbwd"] / results["unsharded_fwdbwd"] - 1
-    print(f"overhead: chained {ovh_chained * 100:+.1f}%  "
-          f"per-level {ovh_levels * 100:+.1f}%  "
-          f"fwd+bwd(stored) {ovh_grad * 100:+.1f}%")
+    msg = (f"overhead: chained {ovh_chained * 100:+.1f}%  "
+           f"fwd+bwd(stored) {ovh_grad * 100:+.1f}%")
+    if "sharded_levels" in results:
+        ovh_levels = results["sharded_levels"] / results["unsharded"] - 1
+        msg += f"  per-level {ovh_levels * 100:+.1f}%"
+    print(msg)
 
 
 if __name__ == "__main__":
