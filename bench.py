@@ -383,23 +383,27 @@ def main():
     ap.add_argument("--wmath", default="fast", choices=["exact", "fast"],
                     help="tap-weight math (fast: one deg-3 exp per tap, "
                          "~1.4e-4 weight rel err; fwd_bwd config)")
-    # radius=1 (3-tap binomial kernel, 5 iterations) is the round-4
-    # quality-validated cheap mode: −0.11 dB PSNR / −0.0008 SSIM vs the
-    # radius-2 B3 kernel against a 1024-spp converged render at 256²
-    # (tools/denoise_quality.py), at 2.06× the throughput
-    # (tools/variant_probe.py).  The metric name carries an "r1" tag; both
-    # classic radius-2 modes ride along in the JSON line.
+    # radius=1 (3-tap binomial kernel, 5 iterations) is the quality-
+    # validated headline mode, now gated on TWO scenes (round 5): −0.11 dB
+    # PSNR on Cornell and −0.17 dB on the 33-primitive clutter scene vs the
+    # radius-2 B3 kernel against 1024-spp converged renders at 256²
+    # (tools/denoise_quality.py --scene), at ~2× the throughput.  The
+    # metric name carries an "r1" tag; both classic radius-2 modes ride
+    # along in the JSON line.
     ap.add_argument("--radius", type=int, default=1, choices=[1, 2],
                     help="à-trous tap radius (fwd_bwd config; r1 is the "
                          "quality-validated headline mode, r2 the classic "
                          "SVGF 5×5 B3 kernel)")
-    # luminance-only weights at levels >= 3 (the deeply dilated taps):
-    # quality-gated at 256²/1024-spp — r1+luma3 measures 29.40 dB PSNR
-    # (above both full-weight baselines) / 0.9800 SSIM (−0.0026), at +4%
-    # throughput.  --luma-from -1 disables.
-    ap.add_argument("--luma-from", type=int, default=3,
+    # luminance-only weights at deep levels: DEMOTED from the default in
+    # round 5 by the two-scene quality gate — on the clutter scene (geometry
+    # structure at deep-dilation scales) lq3 loses 0.82 dB / 0.023 SSIM vs
+    # the full-weight baseline (lq4 −0.43 dB), far outside the 0.3 dB
+    # adoption bar, even though on Cornell it measured ABOVE the baselines
+    # (29.40 dB).  Per-scene option only; see ROADMAP round-5 table.
+    ap.add_argument("--luma-from", type=int, default=-1,
                     help="drop depth/normal weights at levels >= this "
-                         "(fwd_bwd config; -1 = full weights everywhere)")
+                         "(per-scene option, NOT quality-safe on scenes "
+                         "with deep-scale geometry; -1 = full weights)")
     args = ap.parse_args()
     luma_from = None if args.luma_from < 0 else args.luma_from
 

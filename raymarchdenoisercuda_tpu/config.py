@@ -91,9 +91,13 @@ class SVGFParams:
     max_motion: Optional[int] = 6
     # Cheaper-filter study (round 4): levels >= luma_only_from drop the
     # depth/normal edge-stopping terms and filter with the luminance weight
-    # alone (the deeply-dilated taps' geometry tests matter least there).
-    # None = full weights everywhere (default).  Quality-gate any use with
-    # tools/denoise_quality.py.
+    # alone.  PER-SCENE OPTION ONLY (round-5 two-scene quality gate): on
+    # Cornell's flat geometry lq3 measures ABOVE the full-weight baselines
+    # (+0.06 dB), but on a scene with geometry structure at deep-dilation
+    # scales it loses 0.82 dB PSNR / 0.023 SSIM (lq4: −0.43 dB) — the
+    # deep-level geometry terms are doing real work there.  None = full
+    # weights everywhere (default).  Quality-gate any use on YOUR scene
+    # with tools/denoise_quality.py --scene.
     luma_only_from: Optional[int] = None
 
     def __post_init__(self):

@@ -236,7 +236,12 @@ def _make_kernel(H, W, TH, Wp, CH, CR, params: SVGFParams,
         integ_ref[:] = integrated
         var_ref[:] = variance
         mom_ref[:] = moments
-        len_ref[:] = n_new
+        # zero the history length outside the global image: out-of-image
+        # pixels would otherwise write n_new = 1.0, which leaks into canvas
+        # margins when a single-shard mesh axis skips the margin refresh
+        # (round-5 sharded-glue fix) — every other plane is already zero
+        # there (valid=false -> integrated = color = 0, moments of lum 0)
+        len_ref[:] = jnp.where((gy < H) & (gx < W), n_new, 0.0)
 
     return kernel
 
@@ -428,6 +433,14 @@ def _gather_geometry(H, W, params):
 
 
 def _make_gather_kernel(TH, Wp, CH, BLKH, M):
+    """Forward tent gather: dynamic while-loops over BOTH bracketed offset
+    ranges.  Round-5 measured a static-row-offset variant (free static row
+    slices + pl.when guards, like the adjoint kernels below) IN-PROCESS
+    against this one: random ±3 motion 7.80 -> 7.63 ms (−2%, the forward is
+    tap-FMA-bound) but coherent pan 3.01 -> 3.83 ms (+27% — the unrolled
+    guards/RMW tax the production case), so the dynamic structure stays.
+    The adjoints DID win from the restructure — see
+    ``_make_gather_bwd_hist_kernel``."""
     def kernel(hist_hbm, motion_ref, out_ref, hist_s, sems):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
@@ -485,13 +498,18 @@ def _make_gather_kernel(TH, Wp, CH, BLKH, M):
     return kernel
 
 
-def _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M):
+def _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M, NP=10):
     """d_hist-only adjoint (``motion_grad=False``): the transposed tent
     scatter alone.  Skips the history staging and the tent-derivative dot
     entirely — material-table training (the config-4 target) has a provably
     dead motion gradient (motion depends on geometry, not materials), but
     XLA cannot dead-code-eliminate half a Pallas kernel, so the full adjoint
-    was paying ~10 extra staged planes + per-tap rolls for nothing."""
+    was paying ~10 extra staged planes + per-tap rolls for nothing.
+
+    ``NP``: number of leading cotangent planes with gradient (round-5 #2:
+    the temporal epilogue's validity planes feed boolean tests only, so
+    their cotangent is identically zero and the callers pass NP=6 — a 40%
+    cut of the per-tap roll/FMA traffic; see ``grad_planes``)."""
     def kernel(g_hbm, mot_hbm, dh_ref, g_s, mot_s, sems):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
@@ -521,7 +539,7 @@ def _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M):
         for cp in make_copies(slot, b):
             cp.wait()
 
-        g_t = g_s[slot]             # (10, BLKH, Wp) haloed cotangent
+        g_t = g_s[slot]             # (NP, BLKH, Wp) haloed cotangent
         mot_t = mot_s[slot]         # (2, BLKH, Wp) haloed motion
         m0h, m1h = mot_t[0], mot_t[1]
 
@@ -532,35 +550,37 @@ def _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M):
         dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
         dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
 
-        def dy_body(carry):
-            dy, dh = carry
-            dyf = dy.astype(jnp.float32)
-            ty_h = jnp.maximum(0.0, 1.0 - jnp.abs(m0h - dyf))
-            # weighted cotangent rolled to axis-1 source coordinates once
-            # per dy; per dx only the axis-2 roll remains
-            gy_r = pltpu.roll(ty_h[None] * g_t, jnp.mod(dy, BLKH), axis=1)
-            tx_src = pltpu.roll(m1h, jnp.mod(dy, BLKH), axis=0)
+        # Scatter reformulated as a GATHER for the center output rows
+        # (round-5 static-dy restructure): dh[r] = Σ_d w[r-dy, ·-dx]·g[...],
+        # so offset dy's sources sit at the STATIC row slice [CH-dy, ·+TH)
+        # of the staged band — no dynamic sublane rotates at all (they were
+        # ~9× a lane rotate, see _make_gather_kernel); |dy| <= M+1 <= CH so
+        # the slice never wraps, keeping the old kernel's values bit-exact.
+        dh_ref[:] = jnp.zeros((NP, TH, Wp), jnp.float32)
+        for dy in range(-M, M + 2):
+            @pl.when((dy >= dylo) & (dy <= dyhi))
+            def _(dy=dy):
+                m0_s = _rows(m0h, CH - dy, TH)
+                m1_s = _rows(m1h, CH - dy, TH)
+                g_sl = _rows(g_t, CH - dy, TH)
+                ty_s = jnp.maximum(0.0, 1.0 - jnp.abs(m0_s - float(dy)))
+                wg = ty_s[None] * g_sl
 
-            def dx_body(carry2):
-                dx, dh2 = carry2
-                dxf = dx.astype(jnp.float32)
-                tx_h = jnp.maximum(0.0, 1.0 - jnp.abs(tx_src - dxf))
-                P = pltpu.roll(tx_h[None] * gy_r, jnp.mod(dx, Wp), axis=2)
-                return dx + 1, dh2 + P
+                def dx_body(carry2):
+                    dx, dh2 = carry2
+                    dxf = dx.astype(jnp.float32)
+                    tx_s = jnp.maximum(0.0, 1.0 - jnp.abs(m1_s - dxf))
+                    P = pltpu.roll(tx_s[None] * wg, jnp.mod(dx, Wp), axis=2)
+                    return dx + 1, dh2 + P
 
-            _, dh = jax.lax.while_loop(
-                lambda c2: c2[0] <= dxhi, dx_body, (dxlo, dh))
-            return dy + 1, dh
-
-        dh0 = jnp.zeros((10, BLKH, Wp), jnp.float32)
-        _, dh = jax.lax.while_loop(
-            lambda c: c[0] <= dyhi, dy_body, (dylo, dh0))
-        dh_ref[:] = _rows(dh, CH, TH)
+                _, dh = jax.lax.while_loop(
+                    lambda c2: c2[0] <= dxhi, dx_body, (dxlo, dh_ref[...]))
+                dh_ref[:] = dh
 
     return kernel
 
 
-def _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M):
+def _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M, NP=10):
     """Adjoint of the tent gather: d_hist is the transposed tent scatter
     (each source's weighted cotangent rolled FORWARD by its offset); d_motion
     dots the cotangent against tent-derivative-weighted history taps."""
@@ -594,8 +614,8 @@ def _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M):
         for cp in make_copies(slot, b):
             cp.wait()
 
-        hist_t = hist_s[slot]       # (10, BLKH, Wp) haloed history
-        g_t = g_s[slot]             # (10, BLKH, Wp) haloed cotangent
+        hist_t = hist_s[slot]       # (NP, BLKH, Wp) haloed history
+        g_t = g_s[slot]             # (NP, BLKH, Wp) haloed cotangent
         mot_t = mot_s[slot]         # (2, BLKH, Wp) haloed motion
         m0h, m1h = mot_t[0], mot_t[1]
         m0 = _rows(m0h, CH, TH)     # center-row motion
@@ -611,51 +631,57 @@ def _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M):
         dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
         dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
 
-        def dy_body(carry):
-            dy, dh, dm0, dm1 = carry
-            dyf = dy.astype(jnp.float32)
-            ty = jnp.maximum(0.0, 1.0 - jnp.abs(m0 - dyf))
-            typ = _tent_prime(m0 - dyf)
-            ty_h = jnp.maximum(0.0, 1.0 - jnp.abs(m0h - dyf))
-            hist_y = pltpu.roll(hist_t, jnp.mod(-dy, BLKH), axis=1)
-            hist_ctr = _rows(hist_y, CH, TH)
+        # Static-dy restructure (see _make_gather_kernel /
+        # _make_gather_bwd_hist_kernel): per row offset, d_motion reads the
+        # history at the static slice [CH+dy, ·+TH) and d_hist gathers the
+        # weighted cotangent at [CH-dy, ·+TH) — no dynamic sublane rotates,
+        # only the range-adaptive dynamic lane rotates per column offset.
+        dh_ref[:] = jnp.zeros((NP, TH, Wp), jnp.float32)
+        dm_ref[:] = jnp.zeros((2, TH, Wp), jnp.float32)
+        for dy in range(-M, M + 2):
+            @pl.when((dy >= dylo) & (dy <= dyhi))
+            def _(dy=dy):
+                dyf = float(dy)
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(m0 - dyf))
+                typ = _tent_prime(m0 - dyf)
+                hist_ctr = _rows(hist_t, CH + dy, TH)
+                # d_hist source slices (gather form)
+                m0_s = _rows(m0h, CH - dy, TH)
+                m1_s = _rows(m1h, CH - dy, TH)
+                g_sl = _rows(g_t, CH - dy, TH)
+                ty_s = jnp.maximum(0.0, 1.0 - jnp.abs(m0_s - dyf))
+                wg = ty_s[None] * g_sl
 
-            def dx_body(carry2):
-                dx, dh2, dm0_2, dm1_2 = carry2
-                dxf = dx.astype(jnp.float32)
-                tx = jnp.maximum(0.0, 1.0 - jnp.abs(m1 - dxf))
-                txp = _tent_prime(m1 - dxf)
-                # d_motion: cotangent . tent'-weighted history taps
-                hist_sh = pltpu.roll(hist_ctr, jnp.mod(-dx, Wp), axis=2)
-                gdot = jnp.zeros((TH, Wp), jnp.float32)
-                for c in range(10):
-                    gdot = gdot + g_c[c] * hist_sh[c]
-                dm0_2 = dm0_2 + (typ * tx) * gdot
-                dm1_2 = dm1_2 + (ty * txp) * gdot
-                # d_hist: source-weighted cotangent rolled forward
-                tx_h = jnp.maximum(0.0, 1.0 - jnp.abs(m1h - dxf))
-                P = (ty_h * tx_h)[None] * g_t
-                P = pltpu.roll(P, jnp.mod(dy, BLKH), axis=1)
-                P = pltpu.roll(P, jnp.mod(dx, Wp), axis=2)
-                return dx + 1, dh2 + P, dm0_2, dm1_2
+                def dx_body(carry2):
+                    dx, dh2, dm2 = carry2
+                    dxf = dx.astype(jnp.float32)
+                    tx = jnp.maximum(0.0, 1.0 - jnp.abs(m1 - dxf))
+                    txp = _tent_prime(m1 - dxf)
+                    # d_motion: cotangent . tent'-weighted history taps
+                    hist_sh = pltpu.roll(hist_ctr, jnp.mod(-dx, Wp), axis=2)
+                    gdot = jnp.zeros((TH, Wp), jnp.float32)
+                    for c in range(NP):
+                        gdot = gdot + g_c[c] * hist_sh[c]
+                    dm2 = jnp.stack([dm2[0] + (typ * tx) * gdot,
+                                     dm2[1] + (ty * txp) * gdot])
+                    # d_hist: source-weighted cotangent, lane roll forward
+                    tx_s = jnp.maximum(0.0, 1.0 - jnp.abs(m1_s - dxf))
+                    P = pltpu.roll(tx_s[None] * wg, jnp.mod(dx, Wp), axis=2)
+                    return dx + 1, dh2 + P, dm2
 
-            _, dh, dm0, dm1 = jax.lax.while_loop(
-                lambda c2: c2[0] <= dxhi, dx_body, (dxlo, dh, dm0, dm1))
-            return dy + 1, dh, dm0, dm1
-
-        dh0 = jnp.zeros((10, BLKH, Wp), jnp.float32)
-        z = jnp.zeros((TH, Wp), jnp.float32)
-        _, dh, dm0, dm1 = jax.lax.while_loop(
-            lambda c: c[0] <= dyhi, dy_body, (dylo, dh0, z, z))
-        dh_ref[:] = _rows(dh, CH, TH)
-        dm_ref[:] = jnp.stack([dm0, dm1])
+                _, dh, dm = jax.lax.while_loop(
+                    lambda c2: c2[0] <= dxhi, dx_body,
+                    (dxlo, dh_ref[...], dm_ref[...]))
+                dh_ref[:] = dh
+                dm_ref[:] = dm
 
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _reproject_gather(hist_stack, motion, params: SVGFParams,
-                      interpret: bool = False, motion_grad: bool = True):
+                      interpret: bool = False, motion_grad: bool = True,
+                      grad_planes: int = 10):
     """Bounded-motion tent reprojection of the (10, H, W) history stack —
     mathematically identical to ``ops.temporal.bilinear_shift_sample_many``
     (the oracle's static 196-tap formulation), evaluated per row band over
@@ -666,7 +692,15 @@ def _reproject_gather(hist_stack, motion, params: SVGFParams,
     ``motion_grad=False`` runs the dh-only adjoint (d_motion = 0): exact
     whenever the loss gradient w.r.t. motion is dead downstream — e.g.
     material-table optimization, where motion depends on geometry only —
-    and roughly halves the adjoint kernel's staging + roll traffic."""
+    and roughly halves the adjoint kernel's staging + roll traffic.
+
+    ``grad_planes``: the adjoint computes d_hist (and the d_motion dot) for
+    the leading ``grad_planes`` planes only and returns exact zeros beyond —
+    valid whenever the consumer's cotangent is identically zero there.  The
+    temporal epilogue qualifies: prev_depth/prev_normal (planes 6-9) feed
+    pure boolean validity tests (``depth_ok``/``ndot>0.8``), so the wrappers
+    pass 6, cutting the adjoint's staging/roll/FMA traffic by ~40% (round-5
+    verdict #2).  Default 10 = the full adjoint, exact for any cotangent."""
     return _gather_call(hist_stack, motion, params, interpret)
 
 
@@ -697,9 +731,20 @@ def _gather_call(hist_stack, motion, params, interpret=False):
     return out[:, :H, :W]
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
-def _gather_bwd_call(hist_stack, motion, g, params, interpret=False):
+def _pad_planes(dh, total):
+    """Zero d_hist planes beyond ``grad_planes`` (provably zero-cotangent)."""
+    np_ = dh.shape[0]
+    if np_ == total:
+        return dh
+    return jnp.pad(dh, [(0, total - np_)] + [(0, 0)] * (dh.ndim - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret",
+                                              "grad_planes"))
+def _gather_bwd_call(hist_stack, motion, g, params, interpret=False,
+                     grad_planes=10):
     H, W = hist_stack.shape[-2:]
+    NP = grad_planes
     M, Wp, CH, TH, H_pad = _gather_geometry(H, W, params)
     # the adjoint stages three haloed stacks (hist, cotangent, motion) and
     # carries a haloed accumulator — half the band keeps it inside VMEM
@@ -707,58 +752,61 @@ def _gather_bwd_call(hist_stack, motion, g, params, interpret=False):
     H_pad = _round_up(H, TH)
     BLKH = TH + 2 * CH
     grid = H_pad // TH
-    kernel = _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M)
+    kernel = _make_gather_bwd_kernel(TH, Wp, CH, BLKH, M, NP)
     dh, dm = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
-        out_specs=(pl.BlockSpec((10, TH, Wp), lambda b: (0, b, 0),
+        out_specs=(pl.BlockSpec((NP, TH, Wp), lambda b: (0, b, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((2, TH, Wp), lambda b: (0, b, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((10, H_pad, Wp), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((NP, H_pad, Wp), jnp.float32),
                    jax.ShapeDtypeStruct((2, H_pad, Wp), jnp.float32)),
         scratch_shapes=[
-            pltpu.VMEM((2, 10, BLKH, Wp), jnp.float32),
-            pltpu.VMEM((2, 10, BLKH, Wp), jnp.float32),
+            pltpu.VMEM((2, NP, BLKH, Wp), jnp.float32),
+            pltpu.VMEM((2, NP, BLKH, Wp), jnp.float32),
             pltpu.VMEM((2, 2, BLKH, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
-    )(_pad_rows_halo(hist_stack, H_pad, CH, Wp),
-      _pad_rows_halo(g, H_pad, CH, Wp),
+    )(_pad_rows_halo(hist_stack[:NP], H_pad, CH, Wp),
+      _pad_rows_halo(g[:NP], H_pad, CH, Wp),
       _pad_rows_halo(motion, H_pad, CH, Wp))
-    return dh[:, :H, :W], dm[:, :H, :W]
+    return _pad_planes(dh[:, :H, :W], hist_stack.shape[0]), dm[:, :H, :W]
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
-def _gather_bwd_hist_call(motion, g, params, interpret=False):
+@functools.partial(jax.jit, static_argnames=("params", "interpret",
+                                              "grad_planes", "n_planes"))
+def _gather_bwd_hist_call(motion, g, params, interpret=False,
+                          grad_planes=10, n_planes=10):
     """d_hist-only adjoint (see ``_make_gather_bwd_hist_kernel``)."""
     H, W = g.shape[-2:]
+    NP = grad_planes
     M, Wp, CH, TH, H_pad = _gather_geometry(H, W, params)
     TH = min(32, TH)
     H_pad = _round_up(H, TH)
     BLKH = TH + 2 * CH
     grid = H_pad // TH
-    kernel = _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M)
+    kernel = _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M, NP)
     dh = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
-        out_specs=pl.BlockSpec((10, TH, Wp), lambda b: (0, b, 0),
+        out_specs=pl.BlockSpec((NP, TH, Wp), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((10, H_pad, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NP, H_pad, Wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 10, BLKH, Wp), jnp.float32),
+            pltpu.VMEM((2, NP, BLKH, Wp), jnp.float32),
             pltpu.VMEM((2, 2, BLKH, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
-    )(_pad_rows_halo(g, H_pad, CH, Wp),
+    )(_pad_rows_halo(g[:NP], H_pad, CH, Wp),
       _pad_rows_halo(motion, H_pad, CH, Wp))
-    return dh[:, :H, :W]
+    return _pad_planes(dh[:, :H, :W], n_planes)
 
 
 # ---------------------------------------------------------------------------
@@ -853,10 +901,11 @@ def temporal_accumulate_canvas_pallas(
       embed_cb(gbuf_ctr.normal))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _reproject_gather_canvas(histC, motionB, params: SVGFParams,
                              geom, interpret: bool = False,
-                             motion_grad: bool = True):
+                             motion_grad: bool = True,
+                             grad_planes: int = 10):
     """Gather from a history canvas (10, CH+th_pad+CH, Wpc) with margins
     holding >= mh rows/lanes of refreshed neighbor data.  ``motionB`` is the
     motion embedded with DOUBLE (2·CH) margins — exchanged mh-wide real data,
@@ -897,87 +946,92 @@ def _gather_canvas_call(histC, motionB, params, geom, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("params", "geom", "interpret",
-                                              "motion_grad"))
+                                              "motion_grad", "grad_planes"))
 def _gather_canvas_bwd_call(histC, motionB, g, params, geom, interpret=False,
-                            motion_grad=True):
+                            motion_grad=True, grad_planes=10):
     """Adjoint over the canvas: out rows cover the FULL d_histC canvas
     (th_pad + 2·CH rows = margin-writing), staging reads the double-margin
     cotangent/motion arrays at non-negative offsets."""
     mh, CH, CLm, Wpc, TH, th_pad, TH_b = geom
     M = params.max_motion
+    NP = grad_planes
     BLKH = TH_b + 2 * CH
     H_out = th_pad + 2 * CH     # == the d_histC canvas height
     grid = H_out // TH_b
-    gB = jnp.pad(g, [(0, 0), (2 * CH, 2 * CH), (0, 0)])
+    gB = jnp.pad(g[:NP], [(0, 0), (2 * CH, 2 * CH), (0, 0)])
     if motion_grad:
-        kernel = _make_gather_bwd_kernel(TH_b, Wpc, CH, BLKH, M)
+        kernel = _make_gather_bwd_kernel(TH_b, Wpc, CH, BLKH, M, NP)
         dh, dmB = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
-            out_specs=(pl.BlockSpec((10, TH_b, Wpc), lambda b: (0, b, 0),
+            out_specs=(pl.BlockSpec((NP, TH_b, Wpc), lambda b: (0, b, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((2, TH_b, Wpc), lambda b: (0, b, 0),
                                     memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((10, H_out, Wpc), jnp.float32),
+            out_shape=(jax.ShapeDtypeStruct((NP, H_out, Wpc), jnp.float32),
                        jax.ShapeDtypeStruct((2, H_out, Wpc), jnp.float32)),
             scratch_shapes=[
-                pltpu.VMEM((2, 10, BLKH, Wpc), jnp.float32),
-                pltpu.VMEM((2, 10, BLKH, Wpc), jnp.float32),
+                pltpu.VMEM((2, NP, BLKH, Wpc), jnp.float32),
+                pltpu.VMEM((2, NP, BLKH, Wpc), jnp.float32),
                 pltpu.VMEM((2, 2, BLKH, Wpc), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 3)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 2 ** 20),
             interpret=interpret,
-        )(jnp.pad(histC, [(0, 0), (CH, CH), (0, 0)]), gB, motionB)
+        )(jnp.pad(histC[:NP], [(0, 0), (CH, CH), (0, 0)]), gB, motionB)
         dm = jnp.pad(dmB, [(0, 0), (CH, CH), (0, 0)])
-        return dh, dm
-    kernel = _make_gather_bwd_hist_kernel(TH_b, Wpc, CH, BLKH, M)
+        return _pad_planes(dh, histC.shape[0]), dm
+    kernel = _make_gather_bwd_hist_kernel(TH_b, Wpc, CH, BLKH, M, NP)
     dh = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
-        out_specs=pl.BlockSpec((10, TH_b, Wpc), lambda b: (0, b, 0),
+        out_specs=pl.BlockSpec((NP, TH_b, Wpc), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((10, H_out, Wpc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NP, H_out, Wpc), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 10, BLKH, Wpc), jnp.float32),
+            pltpu.VMEM((2, NP, BLKH, Wpc), jnp.float32),
             pltpu.VMEM((2, 2, BLKH, Wpc), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(gB, motionB)
-    return dh, jnp.zeros_like(motionB)
+    return _pad_planes(dh, histC.shape[0]), jnp.zeros_like(motionB)
 
 
 def _reproject_canvas_fwd(histC, motionB, params, geom, interpret,
-                          motion_grad):
+                          motion_grad, grad_planes):
     return _gather_canvas_call(histC, motionB, params, geom, interpret), (
         histC, motionB)
 
 
-def _reproject_canvas_bwd(params, geom, interpret, motion_grad, res, g):
+def _reproject_canvas_bwd(params, geom, interpret, motion_grad, grad_planes,
+                          res, g):
     histC, motionB = res
     return _gather_canvas_bwd_call(histC, motionB, g, params, geom,
-                                   interpret, motion_grad)
+                                   interpret, motion_grad, grad_planes)
 
 
 _reproject_gather_canvas.defvjp(_reproject_canvas_fwd, _reproject_canvas_bwd)
 
 
-def _reproject_fwd(hist_stack, motion, params, interpret, motion_grad):
+def _reproject_fwd(hist_stack, motion, params, interpret, motion_grad,
+                   grad_planes):
     return _gather_call(hist_stack, motion, params, interpret), (
         hist_stack, motion)
 
 
-def _reproject_bwd(params, interpret, motion_grad, res, g):
+def _reproject_bwd(params, interpret, motion_grad, grad_planes, res, g):
     hist_stack, motion = res
     if not motion_grad:
-        dh = _gather_bwd_hist_call(motion, g, params, interpret)
+        dh = _gather_bwd_hist_call(motion, g, params, interpret,
+                                   grad_planes, hist_stack.shape[0])
         return dh, jnp.zeros_like(motion)
-    return _gather_bwd_call(hist_stack, motion, g, params, interpret)
+    return _gather_bwd_call(hist_stack, motion, g, params, interpret,
+                            grad_planes)
 
 
 _reproject_gather.defvjp(_reproject_fwd, _reproject_bwd)
@@ -1010,8 +1064,11 @@ def temporal_accumulate_pallas_ad(
         history.color, history.moments, history.length[None],
         history.prev_depth[None], history.prev_normal,
     ])
+    # grad_planes=6: the epilogue's validity planes (prev_depth/prev_normal)
+    # feed boolean tests only — their cotangent is identically zero, so the
+    # adjoint skips them exactly (round-5 verdict #2)
     gathered = _reproject_gather(hist_stack, motion, params, interpret,
-                                 motion_grad)
+                                 motion_grad, 6)
 
     m0, m1 = motion[0], motion[1]
     iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(color.dtype)

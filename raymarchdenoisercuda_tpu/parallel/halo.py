@@ -39,6 +39,14 @@ def _exchange_axis(x: jax.Array, halo: int, axis_name: str, spatial_axis: int) -
     """
     if halo == 0:
         return x
+    if lax.axis_size(axis_name) == 1:
+        # single-shard axis: both neighbors are the global border, so the
+        # exchanged halo is all zeros — a plain zero-pad, no ppermute/concat
+        # copies (round-5: this was ~0.2 ms/frame of degenerate self-permutes
+        # on 1×1-mesh probes and data-parallel-only meshes)
+        pad = [(0, 0)] * x.ndim
+        pad[spatial_axis] = (halo, halo)
+        return jnp.pad(x, pad)
     L = x.shape[spatial_axis]
 
     def tail(v, n):  # last n elements along spatial_axis

@@ -395,7 +395,9 @@ def temporal_accumulate_local(
             history.prev_depth[None], history.prev_normal])
         g = _reproject_gather(
             exchange_halo2d(hist_stack, mh), exchange_halo2d(motion, mh),
-            params, interpret, motion_grad)[:, mh:mh + th, mh:mh + tw]
+            params, interpret, motion_grad,
+            6)[:, mh:mh + th, mh:mh + tw]  # epilogue validity planes: zero
+        # cotangent (grad_planes=6, see _reproject_gather)
         prev_color, prev_moments = g[0:3], g[3:5]
         prev_len, prev_depth, prev_normal = g[5], g[6], g[7:10]
     else:
@@ -543,9 +545,10 @@ def temporal_accumulate_canvas_local(
                                (2 * CH - mh, 2 * CH - mh + th_pad - th),
                                (CLm - mh, Wpc - tw - CLm - mh)])
 
-    # 3. canvas gather (custom VJP both directions)
+    # 3. canvas gather (custom VJP both directions; grad_planes=6 — the
+    # epilogue's validity planes have identically-zero cotangent)
     gathered = _reproject_gather_canvas(histC, motionB, params, geom,
-                                        interpret, motion_grad)
+                                        interpret, motion_grad, 6)
     ctr = gathered[:, :th, CLm:CLm + tw]
     planes = (ctr[0:3], ctr[3:5], ctr[5], ctr[6], ctr[7:10])
 
@@ -643,17 +646,29 @@ def _refresh_margins_rl(x, Mr: int, Ml: int, th: int, tw: int, w: int,
     def upd(v, band, start, axis):
         return lax.dynamic_update_slice_in_dim(v, band, start, axis=axis)
 
+    # Single-shard axes are skipped entirely (round-5 sharded-glue fix): the
+    # permuted bands would be all zeros (empty ppermute perm = global border
+    # on both sides), and the canvas margins already HOLD zeros — the fwd
+    # kernels zero their output margin rows, out-of-image lanes compute to
+    # 0/EPS = 0, and the canvas builders pad with zeros — so the refresh is
+    # a no-op there.  On the 1×1-mesh probe this was ~0.5 ms/step of
+    # whole-canvas dynamic_update_slice copies plus their transposes.
     rdim, cdim = x.ndim - 2, x.ndim - 1
-    from_n = lax.ppermute(lax.slice_in_dim(x, Mr + th - w, Mr + th, axis=rdim),
-                          axes[0], _axis_shift_perm(axes[0], 1))
-    from_s = lax.ppermute(lax.slice_in_dim(x, Mr, Mr + w, axis=rdim),
-                          axes[0], _axis_shift_perm(axes[0], -1))
-    x = upd(upd(x, from_n, Mr - w, rdim), from_s, Mr + th, rdim)
-    from_w = lax.ppermute(lax.slice_in_dim(x, Ml + tw - w, Ml + tw, axis=cdim),
-                          axes[1], _axis_shift_perm(axes[1], 1))
-    from_e = lax.ppermute(lax.slice_in_dim(x, Ml, Ml + w, axis=cdim),
-                          axes[1], _axis_shift_perm(axes[1], -1))
-    return upd(upd(x, from_w, Ml - w, cdim), from_e, Ml + tw, cdim)
+    if lax.axis_size(axes[0]) > 1:
+        from_n = lax.ppermute(
+            lax.slice_in_dim(x, Mr + th - w, Mr + th, axis=rdim),
+            axes[0], _axis_shift_perm(axes[0], 1))
+        from_s = lax.ppermute(lax.slice_in_dim(x, Mr, Mr + w, axis=rdim),
+                              axes[0], _axis_shift_perm(axes[0], -1))
+        x = upd(upd(x, from_n, Mr - w, rdim), from_s, Mr + th, rdim)
+    if lax.axis_size(axes[1]) > 1:
+        from_w = lax.ppermute(
+            lax.slice_in_dim(x, Ml + tw - w, Ml + tw, axis=cdim),
+            axes[1], _axis_shift_perm(axes[1], 1))
+        from_e = lax.ppermute(lax.slice_in_dim(x, Ml, Ml + w, axis=cdim),
+                              axes[1], _axis_shift_perm(axes[1], -1))
+        x = upd(upd(x, from_w, Ml - w, cdim), from_e, Ml + tw, cdim)
+    return x
 
 
 def _refresh_margins(x, M: int, th: int, tw: int, w: int,

@@ -58,14 +58,57 @@ def test_denoiser_quality_radius1_mode(quality_r1):
 
 
 def test_denoiser_quality_r1_luma3_mode():
-    """The headline r1 + luma-only-deep-levels mode: measured +3.15 dB
-    (above the full-weight baselines — the geometry terms over-restrict
-    deep-level smoothing on this scene) / 0.9616 SSIM; floors leave the
-    usual drift margin.  TPU-config numbers (29.40 dB / 0.9800 at 256²):
-    ROADMAP round-4 findings."""
+    """The r1 + luma-only-deep-levels PER-SCENE mode on Cornell: measured
+    +3.15 dB (above the full-weight baselines — the geometry terms
+    over-restrict deep-level smoothing on THIS scene) / 0.9616 SSIM.
+    Round 5 demoted lq3 from the bench default: on the clutter scene it
+    fails the 0.3 dB bar (see test_luma_mode_degrades_on_clutter)."""
     from denoise_quality import run_eval
 
     q = run_eval(size=160, frames=8, spp_ref=256, warmup=3,
                  impl="reference", iterations=5, radius=1, luma_only_from=3)
     assert q["psnr_gain_db"] > 2.6, q
     assert q["output_ssim"] > 0.95, q
+
+
+@pytest.fixture(scope="module")
+def quality_clutter_r1():
+    from denoise_quality import run_eval
+
+    # 192² is the smallest size where the clutter scene's PSNR gain is
+    # positive on CPU (geometry edges are proportionally huge below that;
+    # at 160² the gain measures −1.1 dB while SSIM still improves — the
+    # absolute-quality numbers live in the TPU 256² table, ROADMAP round 5)
+    return run_eval(size=192, frames=10, spp_ref=256, warmup=4,
+                    impl="reference", iterations=5, radius=1,
+                    scene_kind="clutter")
+
+
+@pytest.mark.slow
+def test_denoiser_quality_clutter_scene(quality_clutter_r1):
+    """Second-scene regression (round-5 verdict #3: the quality gate rested
+    on ONE scene): the r1 headline mode must denoise the 33-primitive
+    clutter scene too.  Measured +0.18 dB PSNR / 0.828 -> 0.963 SSIM at
+    this CPU config (TPU 256²: +2.72 dB / 0.9750)."""
+    assert quality_clutter_r1["psnr_gain_db"] > -0.3, quality_clutter_r1
+    assert quality_clutter_r1["output_ssim"] > 0.945, quality_clutter_r1
+    assert (quality_clutter_r1["output_ssim"]
+            > quality_clutter_r1["input_ssim"] + 0.10), quality_clutter_r1
+
+
+@pytest.mark.slow
+def test_luma_mode_degrades_on_clutter(quality_clutter_r1):
+    """Executable record of WHY luma_only_from was demoted to a per-scene
+    option (round-5 two-scene gate): on geometry with structure at
+    deep-dilation scales, dropping the deep-level depth/normal terms loses
+    real quality (TPU 256²: −0.65 dB / −0.023 SSIM vs r1 full weights;
+    this CPU config: −0.23 dB / −0.027 SSIM).  If this stops showing a
+    gap, the default deserves re-adjudication."""
+    from denoise_quality import run_eval
+
+    q = run_eval(size=192, frames=10, spp_ref=256, warmup=4,
+                 impl="reference", iterations=5, radius=1, luma_only_from=3,
+                 scene_kind="clutter")
+    assert (q["output_ssim"]
+            < quality_clutter_r1["output_ssim"] - 0.015), (
+        q, quality_clutter_r1)

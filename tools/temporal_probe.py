@@ -54,12 +54,109 @@ def chain_time(make_fn, x, n_lo=3, n_hi=18, reps=3):
     return min(slopes)
 
 
+def probe_gather(H, W, motion_mode, reps=3):
+    """The differentiable tent-gather kernel pair under a chosen motion
+    distribution (round-5 verdict #2 gate: fwd+bwd at 1080p per-pixel random
+    ±3 motion).  Measures, in ONE process: gather fwd, gather fwd + FULL
+    adjoint (motion grads), gather fwd + dh-only adjoint (the training
+    configuration), and the epilogue-path step (temporal_accumulate_pallas_ad
+    fwd+bwd)."""
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        _reproject_gather, temporal_accumulate_pallas_ad)
+
+    params = SVGFParams()
+    rng = np.random.default_rng(0)
+    f32 = np.float32
+    hist_stack = jnp.asarray(rng.random((10, H, W), dtype=f32))
+    if motion_mode == "random":
+        motion = jnp.asarray(
+            (2.0 * rng.random((2, H, W)) - 1.0).astype(f32) * 3.0)
+    else:
+        motion = jnp.stack([jnp.full((H, W), -1.3, jnp.float32),
+                            jnp.full((H, W), 2.1, jnp.float32)])
+    g = scene(H, W)
+    g = g.replace(motion=motion)
+    hist = History(color=hist_stack[0:3], moments=hist_stack[3:5],
+                   length=1.0 + hist_stack[5], prev_depth=g.depth,
+                   prev_normal=g.normal)
+
+    def make_fwd(n):
+        @jax.jit
+        def f(h):
+            def body(i, h):
+                out = _reproject_gather(h, motion, params, False, True)
+                return out.at[5].add(1e-6)  # keep the chain honest
+            return jnp.sum(jax.lax.fori_loop(0, n, body, h))
+        return f
+
+    def make_fwdbwd(motion_grad):
+        def mk(n):
+            @jax.jit
+            def f(h):
+                def loss(hh):
+                    out = _reproject_gather(hh, motion, params, False,
+                                            motion_grad, 6)
+                    # epilogue-shaped cotangent: zero on the validity planes
+                    return jnp.sum(out[:6] ** 2)
+
+                def body(i, hh):
+                    return jax.grad(loss)(hh)
+                return jnp.sum(jax.lax.fori_loop(0, n, body, h))
+            return f
+        return mk
+
+    def make_step(n):
+        @jax.jit
+        def f(c0):
+            def body(i, carry):
+                c, hc, acc = carry
+
+                def loss(cc, hcc):
+                    integ, var, nh = temporal_accumulate_pallas_ad(
+                        g.replace(render=cc), hist.replace(color=hcc),
+                        params=params, motion_grad=False)
+                    return (jnp.sum(integ ** 2) + jnp.sum(var)
+                            + jnp.sum(nh.color) + jnp.sum(nh.moments)), nh
+
+                # differentiate wrt the history color too (the training
+                # path: gradients reach the previous frame's filter), and
+                # CARRY the history so XLA cannot hoist the gather out of
+                # the chain (the first probe version had a constant history
+                # and measured a loop-invariant gather — meaningless)
+                (v, nh), (gc, ghc) = jax.value_and_grad(
+                    loss, argnums=(0, 1), has_aux=True)(c, hc)
+                return gc, nh.color + ghc * 1e-6, acc + v
+
+            c, hc, acc = jax.lax.fori_loop(
+                0, n, body, (c0, hist.color, jnp.float32(0.0)))
+            return jnp.sum(c) + jnp.sum(hc) + acc
+        return f
+
+    out = {"metric": f"temporal gather {H}p ({motion_mode} motion)"}
+    for name, mk, x in [
+            ("fwd_ms", make_fwd, hist_stack),
+            ("fwdbwd_full_ms", make_fwdbwd(True), hist_stack),
+            ("fwdbwd_dh_ms", make_fwdbwd(False), hist_stack),
+            ("step_fwdbwd_nomg_ms", make_step, g.render)]:
+        dt = chain_time(mk, x, n_lo=2, n_hi=8)
+        out[name] = round(dt * 1e3, 3)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1080x1920")
-    ap.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--impl", default="pallas",
+                    choices=["pallas", "xla", "gather"])
+    ap.add_argument("--motion", default="random",
+                    choices=["random", "pan"],
+                    help="gather mode: per-pixel random ±3 (adversarial) or "
+                         "a coherent camera pan")
     args = ap.parse_args()
     H, W = map(int, args.size.split("x"))
+    if args.impl == "gather":
+        probe_gather(H, W, args.motion)
+        return
     g = scene(H, W)
     params = SVGFParams()
 
