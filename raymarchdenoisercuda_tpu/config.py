@@ -99,10 +99,20 @@ class SVGFParams:
     # weights everywhere (default).  Quality-gate any use on YOUR scene
     # with tools/denoise_quality.py --scene.
     luma_only_from: Optional[int] = None
+    # Cheaper-filter study part 3 (round 5, r3 verdict #2c): run levels >=
+    # pyramid_from at HALF resolution (2x2-mean downsampled planes, level
+    # index shifted by one so the world-space footprint matches) and add the
+    # bilinear-upsampled coarse delta back.  EXPERIMENTAL, jnp-oracle only;
+    # adjudicated on the two-scene quality gate before any kernel work —
+    # see ROADMAP round-5 findings.
+    pyramid_from: Optional[int] = None
 
     def __post_init__(self):
         if self.iterations < 1:
             raise ValueError(f"iterations must be >= 1, got {self.iterations}")
+        if self.pyramid_from is not None and self.pyramid_from < 1:
+            raise ValueError("pyramid_from must be >= 1 (level 0 has no "
+                             "coarser footprint to move to)")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -171,13 +171,66 @@ def svgf_spatial_ref(
     zgrad = finite_diff_gradients(depth)
     c, v = color, variance
     feedback = color
-    for lvl in range(params.iterations):
+    pf = params.pyramid_from
+    n_full = params.iterations if pf is None else min(pf, params.iterations)
+    for lvl in range(n_full):
         c, v = atrous_level_ref(
             c, v, normal, depth, zgrad,
             level=lvl, params=params, detach_weights=detach_weights,
         )
         if lvl + 1 == params.feedback_level:
             feedback = c
+    if pf is not None and pf < params.iterations:
+        if params.feedback_level > pf:
+            raise ValueError("pyramid_from requires feedback_level <= "
+                             "pyramid_from (the feedback plane must be a "
+                             "full-resolution level)")
+        c, v = _pyramid_deep_levels(c, v, normal, depth, params,
+                                    detach_weights)
     if return_feedback:
         return c, v, feedback
     return c, v
+
+
+def _down2(x: jax.Array) -> jax.Array:
+    """2x2-mean downsample with edge-replicate padding for odd extents."""
+    H, W = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, H % 2), (0, W % 2)]
+    if H % 2 or W % 2:
+        x = jnp.pad(x, pad, mode="edge")
+    Hp, Wp = x.shape[-2:]
+    x = x.reshape(x.shape[:-2] + (Hp // 2, 2, Wp // 2, 2))
+    return x.mean(axis=(-3, -1))
+
+
+def _up2(x: jax.Array, H: int, W: int) -> jax.Array:
+    """Bilinear 2x upsample (half-pixel-center phase, matching _down2)."""
+    return jax.image.resize(x, x.shape[:-2] + (2 * x.shape[-2],
+                                               2 * x.shape[-1]),
+                            method="bilinear")[..., :H, :W]
+
+
+def _pyramid_deep_levels(c, v, normal, depth, params, detach_weights):
+    """Half-resolution deep à-trous levels (SVGFParams.pyramid_from): the
+    levels >= pyramid_from run on 2x2-mean downsampled planes with the
+    level index shifted by one (same world-space footprint at half the
+    pixels), and the coarse-scale CHANGE is bilinear-upsampled and added
+    back — full-resolution detail from the fine levels is preserved, only
+    the deep smoothing delta moves through the pyramid.  Experimental:
+    footprint-growth motivation in the reference's tile model
+    (notebooks/tile.ipynb cells 197-200)."""
+    H, W = depth.shape
+    cd, vd = _down2(c), _down2(v)
+    nd = _down2(normal)
+    nd = nd / jnp.maximum(jnp.linalg.norm(nd, axis=0, keepdims=True), 1e-8)
+    zd = _down2(depth)
+    zgd = finite_diff_gradients(zd)
+    c2, v2 = cd, vd
+    for lvl in range(params.pyramid_from, params.iterations):
+        c2, v2 = atrous_level_ref(
+            c2, v2, nd, zd, zgd,
+            level=lvl - 1, params=params, detach_weights=detach_weights,
+        )
+    c_out = c + _up2(c2 - cd, H, W)
+    v_out = jnp.maximum(v + _up2(v2 - vd, H, W), 0.0)
+    return c_out, v_out

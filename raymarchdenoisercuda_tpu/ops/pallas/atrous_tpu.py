@@ -1096,6 +1096,11 @@ def svgf_spatial_pallas(
         # the recompute adjoint re-derives weights with the exact math; its
         # transposed stencil would not match a fast-weights forward
         raise ValueError("weight_math='fast' requires a stored bwd_impl")
+    if params.pyramid_from is not None:
+        raise NotImplementedError(
+            "pyramid_from (half-res deep levels) is a jnp-oracle experiment "
+            "only — it failed/pending the two-scene quality adjudication "
+            "(ROADMAP round 5); unset it for the kernel path")
     if params.luma_only_from is not None and (
             bwd_impl == "recompute" or not chained or weight_grads
             or precision != "f32"):

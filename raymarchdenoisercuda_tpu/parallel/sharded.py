@@ -175,6 +175,9 @@ def svgf_spatial_local(
     oracle path.
     """
     th, tw = depth.shape
+    if params.pyramid_from is not None:
+        raise NotImplementedError(
+            "pyramid_from is an unsharded jnp-oracle experiment only")
     if bwd_impl == "auto":
         # the luma-only headline mode needs the weight-agnostic stored
         # adjoint; the classic modes keep the recompute default

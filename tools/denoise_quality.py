@@ -69,7 +69,8 @@ def ssim(a, b, peak=1.0, win=7):
 
 def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
              iterations=5, radius=2, weight_math="exact",
-             luma_only_from=None, scene_kind="cornell"):
+             luma_only_from=None, scene_kind="cornell",
+             pyramid_from=None):
     """Returns the metric dict (shared with tests/test_quality.py).
 
     ``radius``/``iterations``/``weight_math`` parametrize the spatial filter
@@ -93,7 +94,7 @@ def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
     cam_cfg = CameraParams(width=size, height=size)
     rm = RaymarchParams()
     sv = SVGFParams(iterations=iterations, radius=radius,
-                luma_only_from=luma_only_from)
+                luma_only_from=luma_only_from, pyramid_from=pyramid_from)
     scene = (cornell_scene() if scene_kind == "cornell"
              else random_scene(n_spheres=14, n_boxes=14, n_materials=12,
                                seed=5))
@@ -151,13 +152,17 @@ def main():
                     choices=["cornell", "clutter"],
                     help="clutter = 33-primitive procedural scene with "
                          "geometry structure at deep-dilation scales")
+    ap.add_argument("--pyramid-from", type=int, default=None,
+                    help="half-res deep levels experiment (jnp oracle only "
+                         "— pass --impl reference)")
     args = ap.parse_args()
     print(json.dumps(run_eval(size=args.size, frames=args.frames,
                               spp_ref=args.spp_ref, impl=args.impl,
                               iterations=args.iters, radius=args.radius,
                               weight_math=args.wmath,
                               luma_only_from=args.luma_from,
-                              scene_kind=args.scene)))
+                              scene_kind=args.scene,
+                              pyramid_from=args.pyramid_from)))
 
 
 if __name__ == "__main__":
