@@ -1099,8 +1099,8 @@ def svgf_spatial_pallas(
     if params.pyramid_from is not None:
         raise NotImplementedError(
             "pyramid_from (half-res deep levels) is a jnp-oracle experiment "
-            "only — it failed/pending the two-scene quality adjudication "
-            "(ROADMAP round 5); unset it for the kernel path")
+            "only — it FAILED the two-scene quality gate (−0.48/−0.60 dB, "
+            "ROADMAP round 5) and was closed; unset it for the kernel path")
     if params.luma_only_from is not None and (
             bwd_impl == "recompute" or not chained or weight_grads
             or precision != "f32"):

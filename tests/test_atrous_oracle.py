@@ -114,3 +114,39 @@ def test_dilation_increases_footprint():
     assert o0[H // 2, W // 2 + 2] > 0  # radius-2 tap at level 0
     assert o0[H // 2, W // 2 + 8] == 0
     assert o2[H // 2, W // 2 + 8] > 0  # dilated tap 2*4=8 at level 2
+
+
+def test_pyramid_deep_levels_mode():
+    """pyramid_from (round-5 experiment, CLOSED — failed the two-scene
+    quality gate at −0.48/−0.60 dB, ROADMAP): the oracle mode still runs,
+    smooths like the full-res sweep on flat regions, and the kernel path
+    refuses it loudly."""
+    rng = np.random.default_rng(3)
+    color, variance, normal, depth = _flat_scene(64, 64, rng)
+    params = SVGFParams(iterations=5, radius=1, pyramid_from=3)
+    out_c, out_v = svgf_spatial_ref(color, variance, normal, depth,
+                                    params=params)
+    full_c, _ = svgf_spatial_ref(color, variance, normal, depth,
+                                 params=SVGFParams(iterations=5, radius=1))
+    assert np.isfinite(np.asarray(out_c)).all()
+    assert np.all(np.asarray(out_v) >= 0)
+    # flat scene: both sweeps smooth heavily and agree closely
+    assert np.asarray(out_c).std() < np.asarray(color).std() * 0.5
+    assert np.abs(np.asarray(out_c) - np.asarray(full_c)).max() < 0.2
+
+    from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import (
+        svgf_spatial_pallas)
+
+    with pytest.raises(NotImplementedError, match="pyramid_from"):
+        svgf_spatial_pallas(color, variance, normal, depth, params=params,
+                            interpret=True)
+
+
+def test_pyramid_requires_fullres_feedback():
+    rng = np.random.default_rng(4)
+    color, variance, normal, depth = _flat_scene(32, 32, rng)
+    params = SVGFParams(iterations=5, radius=1, pyramid_from=2,
+                        feedback_level=3)
+    with pytest.raises(ValueError, match="feedback_level"):
+        svgf_spatial_ref(color, variance, normal, depth, params=params,
+                         return_feedback=True)
