@@ -123,7 +123,9 @@ def bench_svgf_fwd(H=1080, W=1920, iterations=5, repeats=20, impl="pallas",
     import functools
     if impl == "pallas":
         from raymarchdenoisercuda_tpu.ops.pallas.atrous_tpu import svgf_spatial_pallas
-        spatial = functools.partial(svgf_spatial_pallas, precision=precision)
+        # forward-only = inference: the weight-canvas-free mode (round 5)
+        spatial = functools.partial(svgf_spatial_pallas, precision=precision,
+                                    bwd_impl="none")
     else:
         from raymarchdenoisercuda_tpu.ops.atrous import svgf_spatial_ref
         spatial = functools.partial(svgf_spatial_ref, detach_weights=True)

@@ -41,7 +41,7 @@ def remodulate(irradiance: jax.Array, albedo: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit, static_argnames=("params", "detach_weights", "demodulate_albedo",
                               "impl", "precision", "weight_math", "temporal",
-                              "motion_grad")
+                              "motion_grad", "spatial_bwd")
 )
 def svgf_denoise_frame(
     gbuf: GBuffer,
@@ -55,6 +55,7 @@ def svgf_denoise_frame(
     weight_math: str = "exact",
     temporal: str = "auto",
     motion_grad: bool = True,
+    spatial_bwd: str = "auto",
 ) -> Tuple[GBuffer, History]:
     """Denoise one frame with full SVGF; returns (gbuffer+denoised, new history).
 
@@ -65,6 +66,13 @@ def svgf_denoise_frame(
     "auto" = the fused inference band kernel (no VJP); "ad" = the
     differentiable kernel pair (Pallas tent gather + hand-written adjoint,
     epilogue shared with the oracle — use for training); "oracle" = jnp.
+
+    ``spatial_bwd="auto"``: when the resolved temporal step is the fused
+    inference kernel (which has no VJP — the frame is not differentiable
+    anyway), the spatial sweep runs ``bwd_impl="none"`` — the fused-σ
+    forward WITHOUT stored-weight canvas writes (round 5: the pipeline was
+    paying ~25 bf16 plane writes per level for an adjoint it never runs).
+    Training paths (``temporal="ad"``/"oracle") keep the stored adjoint.
     """
     if demodulate_albedo:
         irr = demodulate(gbuf.render, gbuf.albedo)
@@ -94,10 +102,14 @@ def svgf_denoise_frame(
     if impl == "pallas":
         from ..ops.pallas.atrous_tpu import svgf_spatial_pallas
 
+        if spatial_bwd == "auto":
+            # fused inference temporal => the whole frame is gradient-free
+            spatial_bwd = ("none" if use_kernel
+                           and temporal in ("auto", "fused") else "stored")
         filtered, _, feedback = svgf_spatial_pallas(
             integrated, variance, gbuf.normal, gbuf.depth,
             params=params, return_feedback=True, precision=precision,
-            weight_math=weight_math,
+            weight_math=weight_math, bwd_impl=spatial_bwd,
         )
     else:
         filtered, _, feedback = svgf_spatial_ref(

@@ -1087,8 +1087,14 @@ def svgf_spatial_pallas(
     argument via the exp-form identity (see bf16 mode) — for a ~1.4e-4
     relative weight error vs ``"exact"``'s ~1e-7.  Output error stays
     ~60 dB below signal; tests/test_atrous_pallas.py bounds it.
+
+    ``bwd_impl="none"`` (round 5): INFERENCE-ONLY forward — the fused
+    in-kernel σ-denominator of the stored path WITHOUT the stored-weight
+    canvas writes (the frame pipeline was paying ~25 bf16 plane-writes per
+    level for an adjoint it never runs).  Identical forward results;
+    differentiating it raises.
     """
-    if bwd_impl not in ("stored", "stored_f32", "recompute"):
+    if bwd_impl not in ("stored", "stored_f32", "recompute", "none"):
         raise ValueError(f"unknown bwd_impl: {bwd_impl!r}")
     if weight_math not in ("exact", "fast"):
         raise ValueError(f"unknown weight_math: {weight_math!r}")
@@ -1105,9 +1111,10 @@ def svgf_spatial_pallas(
             bwd_impl == "recompute" or not chained or weight_grads
             or precision != "f32"):
         # the stored adjoint is weight-agnostic, so the luma-only mode needs
-        # no backward changes — but only on the chained stored path
+        # no backward changes — but only on the chained stored path (or the
+        # gradient-free inference mode)
         raise ValueError("luma_only_from requires the chained f32 "
-                         "detached path with a stored bwd_impl")
+                         "detached path with a stored or 'none' bwd_impl")
     on_chained = (chained and not weight_grads and precision == "f32"
                   and params.iterations > 0)
     if weight_math == "fast" and not on_chained:
@@ -1923,10 +1930,15 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
     H, W = depth.shape
     Wp = _round_up(W, 128)
     M = _chain_margin(params)
-    th_f, th_b, H_pad = _chain_tiles(H, Wp, params, tile_rows, bwd_impl)
+    th_f, th_b, H_pad = _chain_tiles(
+        H, Wp, params, tile_rows,
+        "recompute" if bwd_impl == "none" else bwd_impl)
     bounds = (H, W)
-    save_w_dtype = (None if bwd_impl == "recompute" else
-                    jnp.float32 if bwd_impl == "stored_f32" else jnp.bfloat16)
+    save_w_dtype = (jnp.float32 if bwd_impl == "stored_f32"
+                    else jnp.bfloat16 if bwd_impl == "stored" else None)
+    # "none" (inference) keeps the stored path's fused σ-denominator but
+    # skips the weight-canvas writes entirely
+    fuse_sden = bwd_impl != "recompute"
 
     colorC = _canvas_pad(color, M, H_pad, Wp)
     varC = _canvas_pad(variance, M, H_pad, Wp)
@@ -1939,9 +1951,9 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
     feedbackC = colorC
     lvl_res = []
     for lvl in range(params.iterations):
-        if save_w_dtype is not None:
-            # stored backward never re-derives weights, so the σ-denominator
-            # is fused into the fwd kernel (isd2_cb=None) — no XLA blur pass
+        if fuse_sden:
+            # stored/inference forward derives the σ-denominator in-kernel
+            # (isd2_cb=None) — no XLA blur pass
             isd2_cb = None
         else:
             # recompute backward re-derives weights from this exact isd2C;
@@ -1961,7 +1973,7 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
         cC_next, vC_next, nC = outs[:3]
         if save_w_dtype is not None:
             lvl_res.append((outs[3], nC))
-        else:
+        elif not fuse_sden:
             lvl_res.append((cC, isd2C, nC))
         cC, vC = cC_next, vC_next
         if lvl + 1 == params.feedback_level:
@@ -1969,9 +1981,9 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
 
     out = (_canvas_crop(cC, M, H, W), _canvas_crop(vC, M, H, W),
            _canvas_crop(feedbackC, M, H, W))
-    if save_w_dtype is not None:
+    if save_w_dtype is not None or bwd_impl == "none":
         # stored backward needs no guidance canvases — only per-level
-        # (weights, norm); keep center-cropped normal/depth for zero-shaping
+        # (weights, norm); inference mode keeps nothing at all
         res = (tuple(lvl_res), None, None, None)
     else:
         res = (tuple(lvl_res), normalC, depthC, zgradC)
@@ -1980,6 +1992,11 @@ def _svgf_chained_fwd(color, variance, normal, depth, spec):
 
 def _svgf_chained_bwd(spec, res, g):
     params, interpret, tile_rows, bwd_impl, _weight_math = spec
+    if bwd_impl == "none":
+        raise RuntimeError(
+            "svgf_spatial_pallas(bwd_impl='none') is inference-only (no "
+            "stored weights, no recompute residuals); use 'stored' for "
+            "training")
     lvl_res, normalC, depthC, zgradC = res
     gc, gv, gfeed = g
     H, W = gv.shape

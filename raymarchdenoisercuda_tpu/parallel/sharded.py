@@ -729,6 +729,8 @@ def _canvas_level_fwd(cC, vC, normalC, depthC, zgrad_cb, isd2_cb, sden_t,
     cC2, vC2, nC = outs[:3]
     if bwd_impl == "stored":
         res = (outs[3], nC, origin)
+    elif bwd_impl == "none":
+        res = (origin,)   # inference-only: no residuals
     else:
         res = (cC, normalC, depthC, zgrad_cb, sden_t, nC, origin)
     return (cC2, vC2), res
@@ -736,6 +738,9 @@ def _canvas_level_fwd(cC, vC, normalC, depthC, zgrad_cb, isd2_cb, sden_t,
 
 def _canvas_level_bwd(level, params, geo, bounds, interpret, fast_weights,
                       bwd_impl, res, g):
+    if bwd_impl == "none":
+        raise RuntimeError("sharded spatial bwd_impl='none' is "
+                           "inference-only; use 'stored' for training")
     gcC, gvC = g
     M, th, tw, TH, TH_b = geo
     zero = jnp.zeros_like
@@ -820,20 +825,23 @@ def svgf_spatial_chained_local(
                                          _round_up, _LOG2E)
 
     stored = bwd_impl == "stored"
-    if params.luma_only_from is not None and not stored:
+    infer = bwd_impl == "none"
+    if params.luma_only_from is not None and not (stored or infer):
         # the stored adjoint is weight-agnostic so the luma-only mode needs
         # no backward changes; the recompute adjoint re-derives FULL weights
         # and would not match a luma-only forward (round-5 verdict #1)
         raise ValueError(
             "luma_only_from on the sharded chained path requires "
-            "bwd_impl='stored'")
+            "bwd_impl='stored' (or the inference-only 'none')")
     th, tw = depth.shape
     ry, cx = tile_origin((th, tw))
     M = _chain_margin(params)
     Mc = 2 * M if stored else M          # canvas margin
     Wp = _round_up(tw + 2 * Mc, 128)
-    TH, TH_b, th_pad = _chain_tiles(th, Wp, params, tile_rows, bwd_impl,
-                                    bwd_extra=M if stored else 0)
+    TH, TH_b, th_pad = _chain_tiles(
+        th, Wp, params, tile_rows,
+        "recompute" if infer else bwd_impl,
+        bwd_extra=M if stored else 0)
     geo = (Mc, th, tw, TH, TH_b)
     bounds = (Hg, Wg)
     origin = (ry, cx)
@@ -860,7 +868,7 @@ def svgf_spatial_chained_local(
         if lvl > 0:
             cC = _refresh_margins(cC, Mc, th, tw, h)
             vC = _refresh_margins(vC, Mc, th, tw, h)
-        if stored:
+        if stored or infer:
             # σ-denominator fused into the fwd kernel (global-coordinate
             # masks via origin) — no XLA blur pass, no extra exchange
             sden = isd2_cb = None
@@ -955,12 +963,16 @@ def pipeline_local(
     if temporal_impl == "auto":
         temporal_impl = impl
     if spatial_bwd_impl == "auto":
-        # luma-only levels need the weight-agnostic stored adjoint (and the
-        # stored forward, which fuses the σ-denominator); the classic modes
-        # keep the recompute default, matching the measured round-4 numbers
-        spatial_bwd_impl = ("stored" if impl == "pallas"
-                            and svgf_params.luma_only_from is not None
-                            else "recompute")
+        if impl == "pallas" and temporal_impl in ("pallas", "pallas_canvas"):
+            # fused (no-VJP) temporal step => the frame is gradient-free:
+            # run the weight-canvas-free inference forward (round 5)
+            spatial_bwd_impl = "none"
+        elif (impl == "pallas"
+              and svgf_params.luma_only_from is not None):
+            # luma-only levels need the weight-agnostic stored adjoint
+            spatial_bwd_impl = "stored"
+        else:
+            spatial_bwd_impl = "recompute"
     from ..ops.raymarch import render_gbuffer_window
     from ..models.svgf import demodulate, remodulate
 

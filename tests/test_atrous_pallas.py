@@ -406,3 +406,28 @@ def test_fast_weight_math_rejects_unsupported_modes(rng):
     with pytest.raises(ValueError, match="chained"):
         svgf_spatial_pallas(color, variance, normal, depth, interpret=True,
                             weight_math="fast", chained=False)
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_inference_mode_no_weight_canvases(rng, radius):
+    """bwd_impl='none' (round 5): the weight-canvas-free inference forward
+    (fused σ-denominator, no stored-weight writes) is BIT-IDENTICAL to the
+    stored forward — the kernels run the same math, only the residual
+    outputs differ — and differentiating it raises loudly."""
+    color, variance, normal, depth = _scene(rng)
+    params = SVGFParams(iterations=5, radius=radius)
+    want = svgf_spatial_pallas(color, variance, normal, depth, params=params,
+                               interpret=True, bwd_impl="stored")
+    got = svgf_spatial_pallas(color, variance, normal, depth, params=params,
+                              interpret=True, bwd_impl="none")
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+    def loss(c):
+        oc, _ = svgf_spatial_pallas(c, variance, normal, depth,
+                                    params=params, interpret=True,
+                                    bwd_impl="none")
+        return jnp.sum(oc ** 2)
+
+    with pytest.raises(RuntimeError, match="inference-only"):
+        jax.grad(loss)(color)
