@@ -509,11 +509,16 @@ def main():
     # when the headline runs a cheaper mode the ratio is derived from the
     # r2-exact ride-along measured in the same process; the headline-vs-r01
     # cross-mode ratio rides along separately as vs_baseline_headline.
+    # Secondary configs measure DIFFERENT workloads than the recorded
+    # round-1 north star — a ratio against it would be meaningless, so
+    # they emit vs_baseline = 1.0 (the no-baseline convention above).
     if base and "r2_exact_mpix_s" in extra:
         out["vs_baseline"] = round(extra["r2_exact_mpix_s"] / base, 3)
         out["vs_baseline_headline"] = round(value / base, 3)
+    elif base and args.config in ("fwd_bwd_1080p", "fwd_bwd_1080p_ref"):
+        out["vs_baseline"] = round(value / base, 3)
     else:
-        out["vs_baseline"] = round(value / base, 3) if base else 1.0
+        out["vs_baseline"] = 1.0
     out.update(extra)
     print(json.dumps(out))
 

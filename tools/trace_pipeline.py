@@ -34,12 +34,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="/tmp/rdt_trace_pipe")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--radius", type=int, default=1, choices=[1, 2])
+    ap.add_argument("--wmath", default="fast", choices=["exact", "fast"])
     args = ap.parse_args()
 
     H, W = 1080, 1920
     cam_cfg = CameraParams(width=W, height=H)
     rm = RaymarchParams()
-    svgf = SVGFParams(iterations=5)
+    svgf = SVGFParams(iterations=5, radius=args.radius)
     scene = cornell_scene()
     cam = cornell_camera()
 
@@ -51,9 +53,11 @@ def main():
             hist, key, acc = carry
             key, sub = jax.random.split(key)
             g = render_gbuffer(scene, cam, cam, sub, cam_cfg=cam_cfg,
-                               params=rm, spp=1, impl="pallas")
+                               params=rm, spp=1, impl="pallas",
+                               normal_impl="pallas")
             out, hist = svgf_denoise_frame(g, hist, params=svgf,
-                                           impl="pallas")
+                                           impl="pallas",
+                                           weight_math=args.wmath)
             # consume the denoised frame (same anti-DCE rule as bench.py)
             return (hist, key, acc + jnp.sum(out.denoised))
 
