@@ -10,12 +10,13 @@ The XLA reprojection is motion-oblivious: it evaluates all
 ``(2M+2)²`` = 196 statically-shifted tent taps even though each pixel's
 bilinear sample touches only the 2×2 integer offsets bracketing its motion
 vector.  This kernel computes, per row band, the *actual* integer offset
-ranges ``[floor(min m), floor(max m)+1]`` present in the band (camera motion
-is smooth, so bands typically span 2-4 offsets per axis) and loops only over
-those with ``tpu.dynamic_rotate`` shifts — identical tent math, so results
-match ``temporal_accumulate`` exactly; only the wasted zero-weight taps are
-skipped.  Worst-case (motion spanning the full ±M range within one band) it
-degrades gracefully to the oracle's tap count.
+ranges ``[floor(min m), ceil(max m)]`` present in the band (camera motion
+is smooth, so bands typically span 1-4 offsets per axis; a static camera
+needs exactly one) and loops only over those with ``tpu.dynamic_rotate``
+shifts — identical tent math, so results match ``temporal_accumulate``
+exactly; only the wasted zero-weight taps are skipped.  Worst-case (motion
+spanning the full ±M range within one band) it degrades gracefully to the
+oracle's tap count.
 
 History planes are staged HBM→VMEM with a ``max_motion+1`` halo per band
 (double-buffered async DMA, like the à-trous kernels); the history clamp
@@ -123,9 +124,15 @@ def _make_kernel(H, W, TH, Wp, CH, CR, params: SVGFParams,
         m0c = jnp.clip(m0, -float(M), float(M))
         m1c = jnp.clip(m1, -float(M), float(M))
         dylo = jnp.floor(jnp.min(m0c)).astype(jnp.int32)
-        dyhi = jnp.floor(jnp.max(m0c)).astype(jnp.int32) + 1
+        # upper bounds use ceil, not floor+1 (round 5): when the band's max
+        # motion is INTEGER the floor+1 offset's tent weight is identically
+        # zero for every pixel — a wasted full-band roll + FMA round.  ceil
+        # is tight and exact for value-only kernels (static camera: 4 taps
+        # -> 1); the full adjoint keeps floor+1 because the tent DERIVATIVE
+        # is +-0.5 at the |x|=1 ties (JAX kink convention, _tent_prime).
+        dyhi = jnp.ceil(jnp.max(m0c)).astype(jnp.int32)
         dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
-        dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
+        dxhi = jnp.ceil(jnp.max(m1c)).astype(jnp.int32)
 
         def dy_body(carry):
             dy, acc = carry
@@ -469,9 +476,15 @@ def _make_gather_kernel(TH, Wp, CH, BLKH, M):
         m0c = jnp.clip(m0, -float(M), float(M))
         m1c = jnp.clip(m1, -float(M), float(M))
         dylo = jnp.floor(jnp.min(m0c)).astype(jnp.int32)
-        dyhi = jnp.floor(jnp.max(m0c)).astype(jnp.int32) + 1
+        # upper bounds use ceil, not floor+1 (round 5): when the band's max
+        # motion is INTEGER the floor+1 offset's tent weight is identically
+        # zero for every pixel — a wasted full-band roll + FMA round.  ceil
+        # is tight and exact for value-only kernels (static camera: 4 taps
+        # -> 1); the full adjoint keeps floor+1 because the tent DERIVATIVE
+        # is +-0.5 at the |x|=1 ties (JAX kink convention, _tent_prime).
+        dyhi = jnp.ceil(jnp.max(m0c)).astype(jnp.int32)
         dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
-        dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
+        dxhi = jnp.ceil(jnp.max(m1c)).astype(jnp.int32)
 
         def dy_body(carry):
             dy, acc = carry
@@ -546,9 +559,15 @@ def _make_gather_bwd_hist_kernel(TH, Wp, CH, BLKH, M, NP=10):
         m0c = jnp.clip(m0h, -float(M), float(M))
         m1c = jnp.clip(m1h, -float(M), float(M))
         dylo = jnp.floor(jnp.min(m0c)).astype(jnp.int32)
-        dyhi = jnp.floor(jnp.max(m0c)).astype(jnp.int32) + 1
+        # upper bounds use ceil, not floor+1 (round 5): when the band's max
+        # motion is INTEGER the floor+1 offset's tent weight is identically
+        # zero for every pixel — a wasted full-band roll + FMA round.  ceil
+        # is tight and exact for value-only kernels (static camera: 4 taps
+        # -> 1); the full adjoint keeps floor+1 because the tent DERIVATIVE
+        # is +-0.5 at the |x|=1 ties (JAX kink convention, _tent_prime).
+        dyhi = jnp.ceil(jnp.max(m0c)).astype(jnp.int32)
         dxlo = jnp.floor(jnp.min(m1c)).astype(jnp.int32)
-        dxhi = jnp.floor(jnp.max(m1c)).astype(jnp.int32) + 1
+        dxhi = jnp.ceil(jnp.max(m1c)).astype(jnp.int32)
 
         # Scatter reformulated as a GATHER for the center output rows
         # (round-5 static-dy restructure): dh[r] = Σ_d w[r-dy, ·-dx]·g[...],
