@@ -314,7 +314,8 @@ def main():
     args = ap.parse_args()
     luma_from = None if args.luma_from < 0 else args.luma_from
     if args.mode != "spatial":
-        H, W = (1080, 1920) if args.size == "1080p" else (512, 512)
+        H, W = {"1080p": (1080, 1920), "4k": (2160, 3840)}.get(
+        args.size, (512, 512))
         if args.mode == "pipeline":
             probe_pipeline(H, W, args.iters, args.radius, luma_from)
         elif args.mode == "temporal":
@@ -322,7 +323,8 @@ def main():
         else:
             probe_train(H, W, args.iters, args.radius, luma_from)
         return
-    H, W = (1080, 1920) if args.size == "1080p" else (512, 512)
+    H, W = {"1080p": (1080, 1920), "4k": (2160, 3840)}.get(
+        args.size, (512, 512))
     params = SVGFParams(iterations=args.iters, radius=args.radius,
                         luma_only_from=luma_from)
     rng = np.random.default_rng(0)
