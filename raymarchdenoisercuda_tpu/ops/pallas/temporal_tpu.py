@@ -210,35 +210,39 @@ def _make_kernel(H, W, TH, Wp, CH, CR, params: SVGFParams,
                       + alpha_m * cur_m2, cur_m2),
         ])
 
-        # spatial moment fallback: separable 7x7 window of the band's lum
-        r3 = 3
-        lum_band = (_LUMA[0] * rend_t[0] + _LUMA[1] * rend_t[1]
-                    + _LUMA[2] * rend_t[2])  # (BLKR, Wp); zeros off-image
-        lum2_band = lum_band * lum_band
-
-        def winsum(xb):
-            rows = _rows(xb, CR - r3, TH)
-            for d in range(-r3 + 1, r3 + 1):
-                rows = rows + _rows(xb, CR + d, TH)
-            out = rows
-            for d in range(-r3, r3 + 1):
-                if d == 0:
-                    continue
-                out = out + pltpu.roll(rows, (-d) % Wp, axis=1)
-            return out
-
-        cy = (jnp.minimum(gyf, float(r3))
-              + jnp.minimum(H - 1 - gyf, float(r3)) + 1.0)
-        cxn = (jnp.minimum(gxf, float(r3))
-               + jnp.minimum(W - 1 - gxf, float(r3)) + 1.0)
-        inv_cnt = 1.0 / (cy * cxn)
-        sm1 = winsum(lum_band) * inv_cnt
-        sm2 = winsum(lum2_band) * inv_cnt
-
         var_temporal = jnp.maximum(moments[1] - moments[0] ** 2, 0.0)
-        var_spatial = jnp.maximum(sm2 - sm1 * sm1, 0.0)
-        variance = jnp.where(n_new < params.variance_boost_frames,
-                             var_spatial, var_temporal)
+        if params.variance_boost_frames > 0:
+            # spatial moment fallback: separable 7x7 window of the band's
+            # lum (skipped at trace time when boost_frames == 0 — the
+            # fallback could never be selected, n_new >= 1)
+            r3 = 3
+            lum_band = (_LUMA[0] * rend_t[0] + _LUMA[1] * rend_t[1]
+                        + _LUMA[2] * rend_t[2])  # (BLKR, Wp); 0 off-image
+            lum2_band = lum_band * lum_band
+
+            def winsum(xb):
+                rows = _rows(xb, CR - r3, TH)
+                for d in range(-r3 + 1, r3 + 1):
+                    rows = rows + _rows(xb, CR + d, TH)
+                out = rows
+                for d in range(-r3, r3 + 1):
+                    if d == 0:
+                        continue
+                    out = out + pltpu.roll(rows, (-d) % Wp, axis=1)
+                return out
+
+            cy = (jnp.minimum(gyf, float(r3))
+                  + jnp.minimum(H - 1 - gyf, float(r3)) + 1.0)
+            cxn = (jnp.minimum(gxf, float(r3))
+                   + jnp.minimum(W - 1 - gxf, float(r3)) + 1.0)
+            inv_cnt = 1.0 / (cy * cxn)
+            sm1 = winsum(lum_band) * inv_cnt
+            sm2 = winsum(lum2_band) * inv_cnt
+            var_spatial = jnp.maximum(sm2 - sm1 * sm1, 0.0)
+            variance = jnp.where(n_new < params.variance_boost_frames,
+                                 var_spatial, var_temporal)
+        else:
+            variance = var_temporal
 
         integ_ref[:] = integrated
         var_ref[:] = variance

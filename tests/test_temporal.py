@@ -512,3 +512,18 @@ def test_sharded_temporal_ad_gradient_parity(rng):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    rtol=1e-5, atol=1e-6, err_msg=name)
         assert np.abs(np.asarray(x)).max() > 0, f"{name} trivially zero"
+
+
+def test_temporal_pallas_no_boost_config_parity(rng):
+    """variance_boost_frames=0 skips the 7x7 spatial-moment window at trace
+    time in the fused kernel (round 5) — outputs must still match the
+    oracle exactly (the fallback could never be selected)."""
+    from raymarchdenoisercuda_tpu.ops.pallas.temporal_tpu import (
+        temporal_accumulate_pallas)
+
+    g, hist = _rand_gbuf_hist(rng)
+    params = SVGFParams(max_motion=6, variance_boost_frames=0)
+    a = temporal_accumulate(g, hist, params=params)
+    b = temporal_accumulate_pallas(g, hist, params=params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
