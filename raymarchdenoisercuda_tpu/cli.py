@@ -114,6 +114,40 @@ def _register_builtin_cases():
         assert np.isfinite(np.asarray(out)).all()
         print(f"\t{mpix_per_s(H, W, dt):.1f} Mpix/s")
 
+    @case_("SHARDED_SPATIAL")
+    def sharded_spatial():
+        # the config-5 machinery end to end on whatever mesh this host has
+        # (a 1-device mesh on the TPU tunnel; the test suite runs the same
+        # path on 8 virtual CPU devices) — asserts parity vs the unsharded
+        # sweep so the case is a correctness check, not just a smoke run
+        from jax.sharding import Mesh
+        from .parallel.sharded import svgf_spatial_sharded
+
+        h, w = (H, W) if on_tpu else (128, 128)
+        color, variance, normal, depth = _rand_planes(h, w)
+        params = SVGFParams(iterations=5, radius=1)
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                    ("data", "y", "x"))
+        if on_tpu:
+            from .ops.pallas.atrous_tpu import svgf_spatial_pallas
+            want = svgf_spatial_pallas(color, variance, normal, depth,
+                                       params=params, bwd_impl="none")[0]
+        else:
+            from .ops.atrous import svgf_spatial_ref
+            want = svgf_spatial_ref(color, variance, normal, depth,
+                                    params=params, detach_weights=True)[0]
+        dt, (got, _v) = time_fn(
+            lambda: svgf_spatial_sharded(
+                color, variance, normal, depth, mesh=mesh, params=params,
+                impl="pallas" if on_tpu else "oracle",
+                interpret=not on_tpu),
+            repeats=3)
+        err = float(jnp.abs(got - want).max())
+        assert err < 1e-3, f"sharded/unsharded mismatch {err}"
+        print(f"\t{mpix_per_s(h, w, dt):.1f} Mpix/s on a "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))} mesh "
+              f"(max |err| {err:.2e})")
+
     @case_("DEVICE_STATS")
     def device_stats():
         # reference SKIPs this (test.cu:51-53); we run it
