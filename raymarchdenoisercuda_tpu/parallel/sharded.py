@@ -892,12 +892,12 @@ def svgf_spatial_chained_local(
 
 @functools.partial(jax.jit, static_argnames=("mesh", "params",
                                               "return_feedback", "impl",
-                                              "interpret"))
+                                              "interpret", "bwd_impl"))
 def svgf_spatial_sharded(
     color, variance, normal, depth,
     *, mesh: Mesh, params: SVGFParams = SVGFParams(),
     return_feedback: bool = False, impl: str = "oracle",
-    interpret: bool = False,
+    interpret: bool = False, bwd_impl: str = "auto",
 ):
     """Sharded multi-level à-trous sweep over mesh axes ('y', 'x').
 
@@ -922,7 +922,7 @@ def svgf_spatial_sharded(
 
     fn = functools.partial(svgf_spatial_local, Hg=Hg, Wg=Wg, params=params,
                            return_feedback=return_feedback, impl=impl,
-                           interpret=interpret)
+                           interpret=interpret, bwd_impl=bwd_impl)
     out_specs = (PLANES, PLANE, PLANES) if return_feedback else (PLANES, PLANE)
     outs = shard_map(
         fn, mesh=mesh,

@@ -339,8 +339,9 @@ def main():
         def run(c):
             def body(_, carry):
                 cc, acc = carry
+                # fwd-only chain = inference: the weight-canvas-free mode
                 oc, ov = svgf_spatial_pallas(cc, variance, normal, depth,
-                                             params=params)
+                                             params=params, bwd_impl="none")
                 return oc, acc + jnp.sum(oc) + jnp.sum(ov)
             _, acc = jax.lax.fori_loop(0, n, body, (c, jnp.float32(0)))
             return acc
@@ -352,9 +353,12 @@ def main():
             def run(c):
                 def body(_, carry):
                     cc, acc = carry
+                    # like-for-like with the unsharded chain: inference mode
+                    # on the chained path (the per-level path ignores it)
                     oc, ov = svgf_spatial_sharded(
                         cc, variance, normal, depth, mesh=mesh,
-                        params=params, impl=impl)
+                        params=params, impl=impl,
+                        bwd_impl="none" if impl == "pallas" else "auto")
                     return oc, acc + jnp.sum(oc) + jnp.sum(ov)
                 _, acc = jax.lax.fori_loop(0, n, body, (c, jnp.float32(0)))
                 return acc
