@@ -592,3 +592,23 @@ def test_sharded_pipeline_kernel_route_matches_oracle(rng):
     assert np.isfinite(dp).all()
     assert np.abs(do - dp).max() < 2e-3
     assert np.abs(do - dp2).max() < 2e-3
+
+
+def test_sharded_luma_mode_composes_with_pad_and_mask(rng):
+    """Round-5 composition corner: the r1+luma per-scene mode through the
+    chained stored kernels AND a non-mesh-divisible global shape (pad-and-
+    mask) at once — the padded tiles' global masks and the luma levels'
+    weight-agnostic stored path must not interfere."""
+    H, W = 67, 45
+    color, variance, normal, depth = _scene(rng, H, W)
+    params = SVGFParams(iterations=5, radius=1, luma_only_from=3)
+    want_c, want_v = svgf_spatial_ref(color, variance, normal, depth,
+                                      params=params, detach_weights=True)
+    mesh = make_mesh(4)
+    got_c, got_v = svgf_spatial_sharded(color, variance, normal, depth,
+                                        mesh=mesh, params=params,
+                                        impl="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=5e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=5e-5, atol=1e-5)

@@ -70,7 +70,7 @@ def ssim(a, b, peak=1.0, win=7):
 def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
              iterations=5, radius=2, weight_math="exact",
              luma_only_from=None, scene_kind="cornell",
-             pyramid_from=None):
+             pyramid_from=None, clutter_seed=5):
     """Returns the metric dict (shared with tests/test_quality.py).
 
     ``radius``/``iterations``/``weight_math`` parametrize the spatial filter
@@ -97,7 +97,7 @@ def run_eval(size=256, frames=16, spp_ref=1024, warmup=4, impl=None,
                 luma_only_from=luma_only_from, pyramid_from=pyramid_from)
     scene = (cornell_scene() if scene_kind == "cornell"
              else random_scene(n_spheres=14, n_boxes=14, n_materials=12,
-                               seed=5))
+                               seed=clutter_seed))
     if impl is None:
         impl = ("pallas" if jax.devices()[0].platform in ("tpu", "axon")
                 else "reference")
@@ -155,6 +155,9 @@ def main():
     ap.add_argument("--pyramid-from", type=int, default=None,
                     help="half-res deep levels experiment (jnp oracle only "
                          "— pass --impl reference)")
+    ap.add_argument("--clutter-seed", type=int, default=5,
+                    help="random_scene seed for --scene clutter (gate "
+                         "robustness checks use a second seed)")
     args = ap.parse_args()
     print(json.dumps(run_eval(size=args.size, frames=args.frames,
                               spp_ref=args.spp_ref, impl=args.impl,
@@ -162,7 +165,8 @@ def main():
                               weight_math=args.wmath,
                               luma_only_from=args.luma_from,
                               scene_kind=args.scene,
-                              pyramid_from=args.pyramid_from)))
+                              pyramid_from=args.pyramid_from,
+                              clutter_seed=args.clutter_seed)))
 
 
 if __name__ == "__main__":
